@@ -1,0 +1,110 @@
+"""Typed scene / numerics / tree configuration pytrees.
+
+The reference carries state between layers in positional, untyped "Mvars"
+lists with *different* layouts for photons and axions (MainRunner.jl:177-186,
+RayTracer.jl:76,100).  Here everything is a typed, jit-friendly dataclass
+pytree: physical parameters are traced leaves, discrete mode switches are
+static metadata so XLA specializes and eliminates dead branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls=None):
+    """Register a frozen dataclass as a JAX pytree.
+
+    Fields with ``metadata={"static": True}`` become aux data (hashable,
+    trigger recompilation when changed); everything else is a traced leaf.
+    """
+
+    def wrap(c):
+        c = dataclasses.dataclass(frozen=True)(c)
+        data_fields = [f.name for f in dataclasses.fields(c) if not f.metadata.get("static")]
+        meta_fields = [f.name for f in dataclasses.fields(c) if f.metadata.get("static")]
+        jax.tree_util.register_dataclass(c, data_fields, meta_fields)
+        return c
+
+    return wrap if cls is None else wrap(cls)
+
+
+def static_field(default: Any):
+    return dataclasses.field(default=default, metadata={"static": True})
+
+
+@_pytree_dataclass
+class Scene:
+    """Physical scene: neutron star + axion parameters.
+
+    Mirrors the CLI-visible parameters of the reference
+    (Gen_Samples.jl:137-174) plus the hard-coded "fixed parameters" block
+    promoted to first-class config.
+    """
+
+    mass_a: Any = 1e-5        # axion mass [eV]              (--MassA)
+    ax_g: Any = 1e-12         # axion-photon coupling [1/GeV] (--Axg)
+    theta_m: Any = 0.0        # misalignment angle [rad]      (--ThetaM)
+    omega_pul: Any = 1.0      # NS rotation frequency [1/s]   (--rotW)
+    b0: Any = 1e14            # surface B field [Gauss]       (--B0)
+    r_ns: Any = 10.0          # NS radius [km]                (--rNS)
+    mass_ns: Any = 1.0        # NS mass [Msun]                (--Mass_NS)
+    bndry_lyr: Any = -1.0     # boundary-layer index; <=0 disables (--bndry_lyr)
+    rho_dm: Any = 0.45        # local DM density [GeV/cm^3]
+    v_ns: Any = (0.0, 0.0, 0.0)  # NS velocity [c]            (--vNS_*)
+    vmean_ax: Any = 220.0     # asymptotic axion speed scale [km/s]
+    # --- static mode switches (XLA-specialized) ---
+    flat: bool = static_field(False)        # flat space vs Schwarzschild
+    isotropic: bool = static_field(False)   # isotropic plasma dispersion
+    melrose: bool = static_field(True)      # Melrose anisotropic form (production mode)
+
+    @property
+    def mass_ns_eff(self):
+        """NS mass with the `flat` switch applied (RayTracer.jl:187-189)."""
+        return 0.0 if self.flat else self.mass_ns
+
+
+@_pytree_dataclass
+class NumericsConfig:
+    """Integrator / event-detection numerics.
+
+    Tolerances follow the reference's contract: Vern6 with reltol=1e-7,
+    abstol=ode_err (1e-6), dtmin=1e-13 force_dtmin, maxiters=1e5
+    (RayTracer.jl:383-384, Gen_Samples.jl:163).
+    """
+
+    rtol: Any = 1e-7
+    atol: Any = 1e-6          # "ode_err"
+    ln_t_start: Any = -30.0   # log-time integration start (MainRunner.jl:411)
+    dt_min: Any = 1e-13
+    safety: Any = 0.9
+    max_dt_factor: Any = 5.0
+    min_dt_factor: Any = 0.2
+    # --- static ---
+    max_steps: int = static_field(100_000)
+    n_save: int = static_field(3)           # "ntimes": saved trajectory points
+    interp_points: int = static_field(16)   # event-scan points per step (ref: 50)
+    bisect_iters: int = static_field(60)    # event root refinement iterations
+    max_roots_per_step: int = static_field(3)
+    max_crossings: int = static_field(16)   # crossing buffer capacity per ray
+
+
+@_pytree_dataclass
+class TreeConfig:
+    """Monte-Carlo tree engine parameters (Gen_Samples.jl:94-120)."""
+
+    prob_cutoff: Any = 1e-10    # --probCutoff
+    # --- static (control loop bounds / buffer sizes) ---
+    num_cutoff: int = static_field(5)     # --numCutoff
+    mc_nodes: int = static_field(5)       # --MCNodes
+    max_nodes: int = static_field(50)     # --maxNodes
+    n_max_sample: int = static_field(6)   # n_maxSample (fixed block, Gen_Samples.jl:174)
+
+
+def default_ln_t_end(scene: Scene):
+    """Upper log-time bound: one rotation period (MainRunner.jl:412)."""
+    return jnp.log(1.0 / scene.omega_pul)
