@@ -65,14 +65,16 @@ def celerity_from_cart(x_cart, v_cart, mass_ns):
     return w
 
 
-def celerity_to_cart_vel(x_sph, w, mass_ns):
+def celerity_to_cart_vel(x_sph, w, mass_ns, a=None):
     """Covariant celerity w -> Cartesian proper velocity (RayTracer.jl:406-416).
 
     v_pl = [w_r sqrt(A), w_th / r, w_ph / (r sth)] * A, then rotated to
     Cartesian.  The caller multiplies in the energy scale (erg) as needed.
+    Pass `a` to override the lapse (e.g. interior-scaled, RayTracer.jl:398-406).
     """
     r, theta, phi = x_sph[..., 0], x_sph[..., 1], x_sph[..., 2]
-    a = lapse_A(r, mass_ns)
+    if a is None:
+        a = lapse_A(r, mass_ns)
     v_r = w[..., 0] * jnp.sqrt(a) * a
     v_th = w[..., 1] / r * a
     v_ph = w[..., 2] / (r * jnp.sin(theta)) * a
