@@ -1,0 +1,82 @@
+"""Branching-tree MC engine tests (vs MainRunner.jl:126-352)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+from adiabatic_raytracer_tpu.models.magnetosphere import conversion_surface_radius
+from adiabatic_raytracer_tpu.ops import sampler, tree
+from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+
+
+SC = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.4, omega_pul=1.0, b0=1e14,
+           r_ns=10.0, mass_ns=1.0)
+CFG = NumericsConfig(interp_points=8, max_crossings=8)
+
+
+def _events(n, key=0):
+    maxR = float(conversion_surface_radius(SC.mass_a, SC.theta_m, SC.omega_pul,
+                                           SC.b0, SC.r_ns))
+    n_grid = sampler.default_n_grid(maxR, scan_per_step=8)
+    got = {"x": [], "v": [], "e": []}
+    k = jax.random.PRNGKey(key)
+    while len(got["x"]) < n:
+        k, sub = jax.random.split(k)
+        res = sampler.sample_batch(sub, 16, maxR, SC, SC.mass_ns, n_grid=n_grid)
+        for i in np.nonzero(np.asarray(res.success))[0]:
+            got["x"].append(np.asarray(res.xpos[i]))
+            got["v"].append(np.asarray(res.v_loc[i]))
+            got["e"].append(float(res.erg_inf[i]))
+    x = jnp.asarray(np.stack(got["x"][:n]))
+    v = jnp.asarray(np.stack(got["v"][:n]))
+    e = jnp.asarray(np.array(got["e"][:n]))
+    k_init = k_norm_cart(x, v, 0.0, e, SC, SC.mass_ns, is_photon=True, ax_fix=True)
+    return x, k_init, e
+
+
+def test_backtrace_basic():
+    x, k_init, erg = _events(3)
+    bt = tree.backtrace(x, k_init, erg, SC, CFG, TreeConfig(), lnt_end=0.0)
+    assert np.all(np.asarray(bt.prob0) > 0)
+    assert np.all(np.asarray(bt.weight) > 0) and np.all(np.asarray(bt.weight) <= 1.0)
+    np.testing.assert_allclose(np.asarray(bt.samp_back_weight),
+                               np.asarray(bt.prob0) * np.asarray(bt.weight), rtol=1e-12)
+    # every event has at least the fallback crossing
+    assert np.all(np.asarray(bt.n_cross) >= 1)
+    # tc re-zeroing (MainRunner.jl:627-629): all >= 0 with the last crossing at 0
+    tc = np.asarray(bt.tc)
+    valid = np.asarray(bt.valid)
+    for e in range(3):
+        tcs = tc[e][valid[e]]
+        assert np.all(tcs >= -1e-15)
+        assert abs(tcs.min()) < 1e-15
+
+
+def test_forward_tree_weight_conservation():
+    """Full-tree mode (no MC transition): processed-node weights split exactly,
+    so tot_prob + pending weights == 1."""
+    x, k_init, erg = _events(3)
+    tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=4, mc_nodes=100, max_nodes=8)
+    out = tree.forward_tree(jax.random.PRNGKey(7), x, k_init, erg, SC, CFG, tcfg,
+                            lnt_end=0.0)
+    pools = out.pools
+    pending_w = np.where(np.asarray(pools.status) == 1, np.asarray(pools.weight), 0.0)
+    total = np.asarray(out.tot_prob) + pending_w.sum(axis=1)
+    np.testing.assert_allclose(total, 1.0, atol=1e-9)
+    assert np.all(np.asarray(out.count) >= 1)
+    # info codes are in the documented set
+    assert set(np.abs(np.asarray(out.info))).issubset({1, 2, 3, 4})
+
+
+def test_forward_tree_finals_exist():
+    x, k_init, erg = _events(2)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=3, max_nodes=8)
+    out = tree.forward_tree(jax.random.PRNGKey(8), x, k_init, erg, SC, CFG, tcfg,
+                            lnt_end=0.0)
+    finals = np.asarray(out.pools.is_final) & (np.asarray(out.pools.status) == 2)
+    assert finals.sum() >= 1
+    # final positions are far from the star
+    fpos = np.asarray(out.pools.fpos)[finals]
+    assert np.all(np.linalg.norm(fpos, axis=1) > SC.r_ns * 1.1)
