@@ -1,0 +1,105 @@
+"""Command-line interface — flag-compatible with the reference
+(`julia Gen_Samples.jl`, Gen_Samples.jl:15-134) plus TPU-specific extras.
+
+Usage:  python -m adiabatic_raytracer_tpu --MassA 1e-5 --Nts 100 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="adiabatic_raytracer_tpu",
+        description="TPU-native adiabatic axion-photon ray tracer",
+    )
+    # --- the reference's 21 flags (Gen_Samples.jl:18-131) ---
+    p.add_argument("--ThetaM", type=float, default=0.0, help="misalignment angle in rad")
+    p.add_argument("--Nts", type=int, default=100, help="number photon trajectories")
+    p.add_argument("--ftag", type=str, default="", help="file tag")
+    p.add_argument("--rotW", type=float, default=1.0, help="rotational freq NS in 1/s")
+    p.add_argument("--MassA", type=float, default=1e-5, help="axion mass in eV")
+    p.add_argument("--Axg", type=float, default=1e-12, help="coupling in 1/GeV")
+    p.add_argument("--B0", type=float, default=1e14, help="surface magnetic field in G")
+    p.add_argument("--run_RT", type=int, default=1, help="should we run ray tracer?")
+    p.add_argument("--run_Combine", type=int, default=0, help="should we combine file runs")
+    p.add_argument("--side_runs", type=int, default=0, help="how many runs do we combine?")
+    p.add_argument("--rNS", type=float, default=10.0, help="radius NS in km")
+    p.add_argument("--Mass_NS", type=float, default=1.0, help="Mass NS in solar masses")
+    p.add_argument("--vNS_x", type=float, default=0.0, help="vel NS x in c")
+    p.add_argument("--vNS_y", type=float, default=0.0, help="vel NS y in c")
+    p.add_argument("--vNS_z", type=float, default=0.0, help="vel NS z in c")
+    p.add_argument("--saveMode", type=int, default=0,
+                   help="0: essentials npy; 1: more npy; 2: + clear text; 3: + full tree")
+    p.add_argument("--probCutoff", type=float, default=1e-10)
+    p.add_argument("--numCutoff", type=int, default=5)
+    p.add_argument("--MCNodes", type=int, default=5)
+    p.add_argument("--maxNodes", type=int, default=50)
+    p.add_argument("--seed", type=int, default=-1, help="RNG seed; -1 = random")
+    p.add_argument("--bndry_lyr", type=float, default=-1.0,
+                   help="boundary-layer power-law index; negative disables")
+    # --- TPU-native extras ---
+    p.add_argument("--dir_tag", type=str, default="results")
+    p.add_argument("--event_batch", type=int, default=16,
+                   help="events propagated per vmapped batch")
+    p.add_argument("--precision", choices=["f32", "f64"], default="f64")
+    p.add_argument("--platform", type=str, default=None,
+                   help="override JAX platform (cpu/tpu/axon)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.precision == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+    from adiabatic_raytracer_tpu.utils.npyio import combine_files
+
+    # Fixed-parameter block promoted to config (Gen_Samples.jl:157-174)
+    sc = Scene(
+        mass_a=args.MassA, ax_g=args.Axg, theta_m=args.ThetaM,
+        omega_pul=args.rotW, b0=args.B0, r_ns=args.rNS, mass_ns=args.Mass_NS,
+        bndry_lyr=args.bndry_lyr, rho_dm=0.45,
+        v_ns=(args.vNS_x, args.vNS_y, args.vNS_z),
+        flat=False, isotropic=False, melrose=True,
+    )
+    cfg = NumericsConfig(atol=1e-6, rtol=1e-7)
+    tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
+                      mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
+
+    print(f"Axion parameters: {args.MassA}\n{args.Axg}")
+    t0 = time.time()
+
+    if args.run_RT == 1:
+        for sub in ("npy", "event", "tree"):
+            os.makedirs(os.path.join(args.dir_tag, sub), exist_ok=True)
+        run(sc, cfg, tcfg, args.Nts, seed=args.seed, save_mode=args.saveMode,
+            file_tag=args.ftag, dir_tag=args.dir_tag,
+            event_batch=args.event_batch)
+
+    if args.run_Combine == 1:
+        out = combine_files(args.dir_tag, args.MassA, args.Axg, args.ThetaM,
+                            args.rotW, args.B0, args.Nts, 3, args.numCutoff,
+                            args.MCNodes, args.maxNodes, args.ftag,
+                            args.side_runs)
+        print(f"combined -> {out}")
+
+    print(f"\ntime diff: {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

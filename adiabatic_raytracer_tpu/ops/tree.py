@@ -58,6 +58,8 @@ class BacktraceResult(NamedTuple):
     c_bck: Any            # [E] node count of the backtrace tree (always 1)
     traj: Any             # [E, NS, 3] backtrace trajectory (saveMode 3)
     times: Any            # [E, NS]
+    raw_n_cross: Any      # [E] crossings before dedup/fallback (tree dumps)
+    raw_tc: Any           # [E, MAXC] raw crossing times (tree dumps)
 
 
 def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
@@ -133,6 +135,8 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         c_bck=jnp.ones(E, jnp.int32),
         traj=res.traj,
         times=res.times,
+        raw_n_cross=res.n_cross,
+        raw_tc=res.tc,
     )
 
 
@@ -163,6 +167,7 @@ class TreePools(NamedTuple):
     dwcx: Any
     pcx: Any
     has_cross: Any
+    order: Any         # [E, P] processing order (1-based; 0 = unprocessed)
 
 
 class TreeResult(NamedTuple):
@@ -187,6 +192,7 @@ def _alloc_pools(E, P, NS, dtype):
         traj=z(E, P, NS, 3), mom=z(E, P, NS, 3), times=z(E, P, NS),
         xc=z(E, P, 3), kc=z(E, P, 3), tcx=z(E, P), dwcx=z(E, P), pcx=z(E, P),
         has_cross=jnp.zeros((E, P), bool),
+        order=jnp.zeros((E, P), jnp.int32),
     )
 
 
@@ -307,6 +313,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             pcx=jnp.where((upd & cross_ok)[:, None], pl.pcx.at[eidx, sel].set(pcx), pl.pcx),
             has_cross=jnp.where(upd[:, None], pl.has_cross.at[eidx, sel].set(cross_ok),
                                 pl.has_cross),
+            order=jnp.where(upd[:, None], pl.order.at[eidx, sel].set(count_now),
+                            pl.order),
         )
 
         # --- no crossing: final node (MainRunner.jl:200-207) ---
