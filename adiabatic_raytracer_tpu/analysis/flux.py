@@ -1,0 +1,95 @@
+"""Flux / pulse-profile analysis of combined npy outputs.
+
+Replicates plot/flux.py (the npy column contract, flux.py:6-36; weighting
+pps = weight * sln_prob, flux.py:38; stop-reason accounting, flux.py:86-98)
+as an importable API with optional matplotlib plotting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+COLUMNS_0 = ["event_num", "particle_id", "thetaf", "phif", "thetafX", "phifX",
+             "absfX", "sln_prob", "weight", "x0", "y0", "z0", "delta_w"]
+COLUMNS_1 = COLUMNS_0 + ["tree_weight", "opticalDepth", "weightC", "kx0", "ky0",
+                         "kz0", "calpha", "c", "info", "prob", "prob_conv",
+                         "prob_conv0", "samp_back_weight", "absfX2", "c_bck",
+                         "prob_nonad0"]
+
+
+@dataclass
+class FluxResult:
+    phi_bins: np.ndarray
+    photon_hist: np.ndarray
+    axion_hist: np.ndarray
+    n_events: int
+    stop_reasons: dict
+    n_mc_used: float
+    total_photon_rate: float
+    total_axion_rate: float
+
+
+def load_rows(path: str) -> dict:
+    res = np.load(path)
+    cols = COLUMNS_1 if res.shape[1] >= 29 else COLUMNS_0
+    return {name: res[:, i] for i, name in enumerate(cols)}
+
+
+def analyze(path: str, num_bins: int = 50) -> FluxResult:
+    d = load_rows(path)
+    pid = d["particle_id"].astype(int)
+    pps = d["weight"] * d["sln_prob"]
+    ph_hist, bins = np.histogram(d["phif"], bins=num_bins,
+                                 weights=pps * (pid == 1))
+    ax_hist, _ = np.histogram(d["phif"], bins=bins, weights=pps * (pid == 0))
+
+    stop = {}
+    n_mc = 0.0
+    n_events = int(d["event_num"][-1]) if d["event_num"].size else 0
+    if "info" in d:
+        ev = d["event_num"].astype(int)
+        # first+last row per event, halved — flux.py:89-98
+        flag1 = np.unique(ev, return_index=True)[1]
+        flag2 = -np.unique(np.flip(ev), return_index=True)[1] - 1
+        flag = np.append(flag1, flag2)
+        info = d["info"][flag].astype(int)
+        for code, name in [(1, "full_tree"), (2, "prob_cutoff"),
+                           (3, "num_cutoff"), (4, "max_nodes")]:
+            stop[name] = float(np.sum(np.abs(info) == code) / 2)
+        n_mc = float(np.sum(info < 0) / 2)
+
+    return FluxResult(
+        phi_bins=bins,
+        photon_hist=ph_hist,
+        axion_hist=ax_hist,
+        n_events=n_events,
+        stop_reasons=stop,
+        n_mc_used=n_mc,
+        total_photon_rate=float(np.sum(pps * (pid == 1))),
+        total_axion_rate=float(np.sum(pps * (pid == 0))),
+    )
+
+
+def plot(path: str, num_bins: int = 50, show: bool = True, save: str = None):
+    """The flux.py figures: phi flux histograms per species."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    r = analyze(path, num_bins)
+    plt.figure()
+    plt.step(r.phi_bins[:-1], r.photon_hist, label="photon")
+    plt.step(r.phi_bins[:-1], r.axion_hist, label="axion")
+    plt.xlabel(r"$\phi$")
+    plt.ylabel("Particles per second")
+    plt.yscale("log")
+    plt.legend()
+    if save:
+        plt.savefig(save, dpi=150, bbox_inches="tight")
+    if show:
+        plt.show()
+    return r

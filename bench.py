@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: photon-ray integration throughput at reference tolerances.
+
+Measures rays integrated per second per chip for the production configuration:
+GR (Schwarzschild) + anisotropic Melrose dispersion in a misaligned rotating
+GJ magnetosphere, adaptive stepping at rtol=1e-7 / atol=1e-6 (the reference's
+ODE contract, RayTracer.jl:383-384), level-crossing event detection ON.
+
+vs_baseline is measured against an estimated single-core Julia throughput of
+the reference of 50 rays/s (no published numbers exist — BASELINE.md; estimate
+derived from the reference's stage count (Vern6, 9 stages x ~8 dual-number
+Hamiltonian evaluations/step) and typical adaptive step counts; the north-star
+target is 100x => vs_baseline = 100).
+
+Environment knobs: BENCH_RAYS (default 1024), BENCH_REPS (default 3),
+BENCH_SPAN_T (trajectory end time in s, default 0.1).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+JULIA_CPU_RAYS_PER_SEC = 50.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops.propagate import propagate
+
+    B = int(os.environ.get("BENCH_RAYS", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t_end = float(os.environ.get("BENCH_SPAN_T", "0.1"))
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8)
+
+    rng = np.random.default_rng(0)
+    r = rng.uniform(14.0, 24.0, B)
+    th = np.arccos(rng.uniform(-0.95, 0.95, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = rng.normal(size=(B, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220.0 / 2.99792e5) ** 2))
+
+    x = jnp.asarray(x)
+    v = jnp.asarray(v)
+    erg = jnp.asarray(erg)
+
+    @jax.jit
+    def step(x0, k0, e):
+        res = propagate(
+            x0, k0, sc, cfg,
+            erg=e,
+            delta_w=-jnp.ones(B, x0.dtype),
+            lnt0=jnp.full(B, cfg.ln_t_start, x0.dtype),
+            lnt1=jnp.full(B, float(np.log(t_end)), x0.dtype),
+            is_photon=jnp.ones(B, bool),
+            max_crossings=jnp.ones(B, jnp.int32),
+            species="photon",
+        )
+        return res.traj[:, -1, :], res.steps, res.n_cross
+
+    # warmup / compile
+    traj, steps, ncross = jax.block_until_ready(step(x, v, erg))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        traj, steps, ncross = step(x, v, erg)
+    jax.block_until_ready(traj)
+    dt = (time.perf_counter() - t0) / reps
+
+    rays_per_sec = B / dt
+    total_steps = int(np.sum(np.asarray(steps)))
+    out = {
+        "metric": "rays_integrated_per_sec_per_chip",
+        "value": round(rays_per_sec, 2),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / JULIA_CPU_RAYS_PER_SEC, 2),
+        "batch": B,
+        "wall_s": round(dt, 3),
+        "steps_per_sec": round(total_steps / dt, 1),
+        "mean_steps_per_ray": round(total_steps / B, 1),
+        "crossings_frac": round(float(np.mean(np.asarray(ncross) > 0)), 3),
+        "rtol": 1e-7,
+        "atol": 1e-6,
+        "dtype": "float64",
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

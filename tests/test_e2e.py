@@ -1,0 +1,73 @@
+"""End-to-end smoke/regression tests — the npz_example.py harness equivalent
+(jonas_test_analyses/npz_example.py): run the full CLI at both saveModes with
+a fixed seed and validate the output contracts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adiabatic_raytracer_tpu.analysis import flux, treeio
+from adiabatic_raytracer_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def outputs(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("results"))
+    args = ["--Nts", "3", "--seed", "1769", "--ThetaM", "0.2", "--event_batch",
+            "2", "--platform", "cpu", "--dir_tag", d]
+    assert main(args + ["--saveMode", "3", "--ftag", "sm3"]) == 0
+    assert main(args + ["--saveMode", "0", "--ftag", "sm0"]) == 0
+    return d
+
+
+def _npy(d, tag):
+    import glob
+
+    return glob.glob(os.path.join(d, "npy", f"*_{tag}.npy"))[0]
+
+
+def test_save_mode0_schema(outputs):
+    rows = np.load(_npy(outputs, "sm0"))
+    assert rows.ndim == 2 and rows.shape[1] == 13
+    assert set(rows[:, 1]).issubset({0.0, 1.0})
+    assert np.all(rows[:, 8] > 0)          # weights
+    assert np.all(rows[:, 7] > 0)          # sln_prob (normalized by f_inx)
+    assert np.all((rows[:, 2] >= 0) & (rows[:, 2] <= np.pi))  # theta_f
+
+
+def test_save_mode3_schema_and_files(outputs):
+    rows = np.load(_npy(outputs, "sm3"))
+    assert rows.shape[1] == 29
+    info = rows[:, 21].astype(int)
+    assert set(np.abs(info)).issubset({1, 2, 3, 4})
+    # text outputs parse with the analysis loaders
+    ev = treeio.load_event_info(os.path.join(outputs, "event", "event_sm3"))
+    fi = treeio.load_final_info(os.path.join(outputs, "event", "final_sm3"))
+    assert ev[0].shape[0] == 2  # events
+    assert fi[0].shape[0] == rows.shape[0]
+    # tree files exist per event and parse
+    nodes = treeio.load_tree(os.path.join(outputs, "tree", "tree_sm31"))
+    assert nodes[0]["species"] == "axion"  # backtraced parent first
+    assert len(nodes) >= 2
+    # trajectories are 3 points (ntimes=3, Gen_Samples.jl:164)
+    assert len(nodes[1]["x"]) == 3
+
+
+def test_flux_analysis(outputs):
+    r = flux.analyze(_npy(outputs, "sm3"))
+    assert r.n_events == 2
+    assert r.total_photon_rate > 0
+    assert sum(r.stop_reasons.values()) + 0 >= 0
+
+
+def test_determinism(outputs, tmp_path):
+    """Same seed => identical rows (single host)."""
+    d2 = str(tmp_path / "rep")
+    args = ["--Nts", "3", "--seed", "1769", "--ThetaM", "0.2", "--event_batch",
+            "2", "--platform", "cpu", "--dir_tag", d2, "--saveMode", "0",
+            "--ftag", "sm0"]
+    assert main(args) == 0
+    r1 = np.load(_npy(outputs, "sm0"))
+    r2 = np.load(_npy(d2, "sm0"))
+    np.testing.assert_array_equal(r1, r2)
