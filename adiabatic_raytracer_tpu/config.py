@@ -91,6 +91,13 @@ class NumericsConfig:
     bisect_iters: int = static_field(60)    # event root refinement iterations
     max_roots_per_step: int = static_field(3)
     max_crossings: int = static_field(16)   # crossing buffer capacity per ray
+    # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
+    # On TPU, f64 is software-emulated and both slow and compile-heavy; the
+    # mixed scheme keeps the integration state and step arithmetic in f64
+    # while evaluating fields/Hamiltonians in f32 (hardware precision of TPU
+    # transcendentals anyway) — endpoint error ~ sqrt(N_steps) * 1e-7 stays
+    # far below the 1e-4 parity contract (BASELINE.md).
+    compute_dtype: str = static_field("state")
 
 
 @_pytree_dataclass

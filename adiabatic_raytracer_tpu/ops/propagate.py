@@ -55,6 +55,10 @@ class PropagateResult(NamedTuple):
     steps: Any       # [B]
 
 
+def _cast_tree(x, dtype):
+    return jax.tree_util.tree_map(lambda v: jnp.asarray(v, dtype), x)
+
+
 def crossing_condition(u, lnt, erg_dummy, sc: Scene, mass_eff):
     """Thick-surface level-crossing condition (RayTracer.jl:254-297).
 
@@ -81,18 +85,30 @@ def crossing_condition(u, lnt, erg_dummy, sc: Scene, mass_eff):
     return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / erg_inf**2
 
 
-def make_rhs(sc: Scene, mass_eff, time0, species: str):
+def make_rhs(sc: Scene, mass_eff, time0, species: str, compute_dtype: str = "state"):
     """Hamilton's equations in log-time (func!/func_axion!, RayTracer.jl:71-123).
 
     species: 'photon' | 'axion' | 'mixed' — static hint letting XLA drop the
     unused Hamiltonian in pure batches.  Quirk preserved from the reference:
     the photon's spatial gradients exclude the boundary-layer plasma term
     while its time derivative includes it (RayTracer.jl:84-88).
+
+    compute_dtype="f32": evaluate the physics in float32 while the caller's
+    integration state stays f64 (see NumericsConfig.compute_dtype).
     """
+    if compute_dtype == "f32":
+        sc = _cast_tree(sc, jnp.float32)
+        mass_eff = jnp.float32(mass_eff)
+        time0 = jnp.float32(time0)
 
     def rhs(u, lnt, ray_args):
+        out_dtype = u.dtype
         erg = ray_args["erg"]
         is_photon = ray_args["is_photon"]
+        if compute_dtype == "f32":
+            u = u.astype(jnp.float32)
+            lnt = lnt.astype(jnp.float32)
+            erg = erg.astype(jnp.float32)
         t = jnp.exp(lnt)
         time = time0 + t
         x = u[0:3]
@@ -110,16 +126,21 @@ def make_rhs(sc: Scene, mass_eff, time0, species: str):
             ha = hamiltonian_axion(xx, kk, erg, mass_eff)
             return jnp.where(is_photon, hp, ha)
 
-        gh = jax.grad(h_spatial)(jnp.concatenate([x, k_scaled]))
+        # f32 mode must use forward-mode AD: reverse-mode cotangents flowing
+        # through the B-field-scale (1e13) intermediates underflow the f32
+        # subnormal/flush threshold and corrupt the gradient; forward tangents
+        # stay O(1).  (f64 keeps the cheaper reverse pass.)
+        d_op = jax.jacfwd if compute_dtype == "f32" else jax.grad
+        gh = d_op(h_spatial)(jnp.concatenate([x, k_scaled]))
         dh_dx, dh_dk = gh[0:3], gh[3:6]
 
         if species == "axion":
             du_x = dh_dk * C_KM * t * g_rr / erg
             du_w = -dh_dx * C_KM * t * g_rr / erg / erg
-            return jnp.concatenate([du_x, du_w, jnp.zeros_like(u[6:7])])
+            return jnp.concatenate([du_x, du_w, jnp.zeros_like(u[6:7])]).astype(out_dtype)
 
         # photon pieces
-        dh_dt = jax.grad(
+        dh_dt = d_op(
             lambda tt: hamiltonian_photon(x, k_scaled, tt, -e7, sc, mass_eff,
                                           bndry_lyr=sc.bndry_lyr)
         )(time)
@@ -131,12 +152,12 @@ def make_rhs(sc: Scene, mass_eff, time0, species: str):
             frozen, 0.0, jnp.concatenate([du_x_ph, du_w_ph, du_e7_ph[None]])
         )
         if species == "photon":
-            return du_ph
+            return du_ph.astype(out_dtype)
 
         du_x_ax = dh_dk * C_KM * t * g_rr / erg
         du_w_ax = -dh_dx * C_KM * t * g_rr / erg / erg
         du_ax = jnp.concatenate([du_x_ax, du_w_ax, jnp.zeros_like(u[6:7])])
-        return jnp.where(is_photon, du_ph, du_ax)
+        return jnp.where(is_photon, du_ph, du_ax).astype(out_dtype)
 
     return rhs
 
@@ -181,10 +202,20 @@ def propagate(
     frac = jnp.linspace(0.0, 1.0, NS)
     save_lnt = lnt0[:, None] + (lnt1 - lnt0)[:, None] * frac[None, :]
 
-    rhs = make_rhs(sc, mass_eff, time0, species)
+    rhs = make_rhs(sc, mass_eff, time0, species, compute_dtype=cfg.compute_dtype)
 
-    def cond_fn(u, lnt, ray_args):
-        return crossing_condition(u, lnt, ray_args["erg"], sc, mass_eff)
+    if cfg.compute_dtype == "f32":
+        sc_c = _cast_tree(sc, jnp.float32)
+        mass_c = jnp.float32(mass_eff)
+
+        def cond_fn(u, lnt, ray_args):
+            return crossing_condition(u.astype(jnp.float32),
+                                      lnt.astype(jnp.float32),
+                                      ray_args["erg"], sc_c, mass_c).astype(u.dtype)
+    else:
+
+        def cond_fn(u, lnt, ray_args):
+            return crossing_condition(u, lnt, ray_args["erg"], sc, mass_eff)
 
     ray_args = {"erg": erg, "is_photon": is_photon}
     res: PoolResult = integrate_pool(

@@ -41,7 +41,15 @@ def main():
 
     sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
                r_ns=10.0, mass_ns=1.0)
-    cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8)
+    platform = jax.devices()[0].platform
+    # On TPU: f64 state + f32 physics (see NumericsConfig.compute_dtype) —
+    # TPU transcendentals are f32-grade even under emulated f64, and full-f64
+    # emulation explodes compile time.  Accuracy vs full f64 is covered by
+    # tests/test_precision.py (endpoints << 1e-4 contract).
+    compute_dtype = os.environ.get(
+        "BENCH_COMPUTE_DTYPE", "state" if platform == "cpu" else "f32")
+    cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
+                         compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     r = rng.uniform(14.0, 24.0, B)
@@ -94,8 +102,9 @@ def main():
         "crossings_frac": round(float(np.mean(np.asarray(ncross) > 0)), 3),
         "rtol": 1e-7,
         "atol": 1e-6,
-        "dtype": "float64",
-        "platform": jax.devices()[0].platform,
+        "state_dtype": "float64",
+        "compute_dtype": compute_dtype,
+        "platform": platform,
     }
     print(json.dumps(out))
 
