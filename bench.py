@@ -82,11 +82,18 @@ def main():
     # warmup / compile
     traj, steps, ncross = jax.block_until_ready(step(x, v, erg))
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        traj, steps, ncross = step(x, v, erg)
-    jax.block_until_ready(traj)
-    dt = (time.perf_counter() - t0) / reps
+    # time with a host-side data dependency per rep (fresh perturbed inputs,
+    # full result fetch) so async dispatch / remote-relay buffering cannot
+    # fake a zero wall time
+    dts = []
+    for i in range(reps):
+        xi = x + 1e-9 * (i + 1)
+        t0 = time.perf_counter()
+        traj, steps, ncross = step(xi, v, erg)
+        traj_np = np.asarray(traj)
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
+    assert np.all(np.isfinite(traj_np))
 
     rays_per_sec = B / dt
     total_steps = int(np.sum(np.asarray(steps)))
