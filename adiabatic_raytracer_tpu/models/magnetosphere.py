@@ -20,6 +20,7 @@ from adiabatic_raytracer_tpu.constants import (
     SQRT_4PI_ALPHA,
 )
 from adiabatic_raytracer_tpu.models.metric import metric_inverse
+from adiabatic_raytracer_tpu.utils.precise import cos_p, sin_p
 
 
 def _omega_p_of_bz(bz, omega_pul):
@@ -40,9 +41,10 @@ def dipole_sph(x_sph, t, theta_m, omega_pul, b0, r_ns):
     phi = x_sph[..., 2]
     psi = phi - omega_pul * t
     bnorm = b0 * (r_ns / r) ** 3 / 2.0
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    cm, sm = jnp.cos(theta_m), jnp.sin(theta_m)
-    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    # precise trig: TPU-native f32 sin/cos are too noisy for rtol=1e-7
+    ct, st = cos_p(theta), sin_p(theta)
+    cm, sm = cos_p(theta_m), sin_p(theta_m)
+    cp, sp = cos_p(psi), sin_p(psi)
     br = 2.0 * bnorm * (cm * ct + sm * st * cp)
     btheta = bnorm * (cm * st - sm * ct * cp)
     bphi = bnorm * sm * sp
@@ -64,7 +66,7 @@ def omega_p_sph(x_sph, t, theta_m, omega_pul, b0, r_ns, *, mass_a=1e-5,
     r = x_sph[..., 0]
     theta = x_sph[..., 1]
     br, btheta, _ = dipole_sph(x_sph, t, theta_m, omega_pul, b0, r_ns)
-    bz = br * jnp.cos(theta) - btheta * jnp.sin(theta)
+    bz = br * cos_p(theta) - btheta * sin_p(theta)
     wp = _omega_p_of_bz(bz, omega_pul)
     wp = wp + _bndry_lyr_term(r, mass_a, bndry_lyr, omega_pul, b0, r_ns)
     if zero_in:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from adiabatic_raytracer_tpu.constants import C_KM, G_NEW
+from adiabatic_raytracer_tpu.utils.precise import sin_p
 
 
 def schwarzschild_radius(mass_ns):
@@ -30,7 +31,7 @@ def metric_inverse(x_sph, mass_ns, r_ns=10.0):
     *scaled* r_s.  mass_ns may be 0 (flat space).
     """
     r = x_sph[..., 0]
-    sin_theta = jnp.sin(x_sph[..., 1])
+    sin_theta = sin_p(x_sph[..., 1])
     rs0 = schwarzschild_radius(mass_ns)
     inside = r <= r_ns
     rs = jnp.where(inside, rs0 * (r / r_ns) ** 3, rs0)

@@ -109,7 +109,9 @@ def make_rhs(sc: Scene, mass_eff, time0, species: str, compute_dtype: str = "sta
             u = u.astype(jnp.float32)
             lnt = lnt.astype(jnp.float32)
             erg = erg.astype(jnp.float32)
-        t = jnp.exp(lnt)
+        from adiabatic_raytracer_tpu.utils.precise import exp_p
+
+        t = exp_p(lnt)
         time = time0 + t
         x = u[0:3]
         e7 = u[6]
