@@ -91,6 +91,14 @@ class NumericsConfig:
     bisect_iters: int = static_field(60)    # event root refinement iterations
     max_roots_per_step: int = static_field(3)
     max_crossings: int = static_field(16)   # crossing buffer capacity per ray
+    # Stall detector: a ray that advances less than stall_min_progress in
+    # log-time over stall_window attempted steps is grinding at dt_min (the
+    # reference burns maxiters=1e5 steps on these before giving up,
+    # RayTracer.jl:384,386-391); we cut it early and flag it.  In a lockstep
+    # pool one grinding ray holds the whole batch hostage, so this is a
+    # first-class performance control.  Set stall_window=0 to disable.
+    stall_window: int = static_field(1024)
+    stall_min_progress: Any = 1e-8
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

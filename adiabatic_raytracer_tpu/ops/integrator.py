@@ -73,6 +73,8 @@ class PoolState(NamedTuple):
     cross_lnt: Any   # [B, MAXC]
     save_u: Any      # [B, NS, 7] dense-output states on the save grid
     steps: Any       # [B] int32 attempted steps
+    lnt_ck: Any      # [B] log-time at the last stall check
+    stalled: Any     # [B] bool: cut by the stall detector
 
 
 class PoolResult(NamedTuple):
@@ -86,6 +88,7 @@ class PoolResult(NamedTuple):
     ns_hit: Any
     maxed: Any
     steps: Any
+    stalled: Any
 
 
 def _error_norm(err, u0, u1, rtol, atol):
@@ -156,6 +159,8 @@ def integrate_pool(
         cross_lnt=jnp.zeros((B, MAXC), dtype),
         save_u=save_u0,
         steps=jnp.zeros(B, jnp.int32),
+        lnt_ck=lnt0,
+        stalled=jnp.zeros(B, bool),
     )
 
     taus_interior = jnp.linspace(0.0, 1.0, K + 1)[1:-1].astype(dtype)  # [K-1]
@@ -297,6 +302,8 @@ def integrate_pool(
             cross_lnt=st.cross_lnt,
             save_u=save_u,
             steps=st.steps + active.astype(jnp.int32),
+            lnt_ck=st.lnt_ck,
+            stalled=st.stalled,
         )
 
         if detect_events:
@@ -326,6 +333,15 @@ def integrate_pool(
         ns_now = accept & kill_at_surface & (st2.u[:, 0] < r_ns * 1.01) & ~st2.done
         reached = accept & (t1 >= lnt1 - 1e-14) & ~st2.done
         maxed_now = (st2.steps >= cfg.max_steps) & ~st2.done
+        # stall detector: no log-time progress over a window of attempts means
+        # the ray is grinding at dt_min (see NumericsConfig.stall_window)
+        if cfg.stall_window:
+            at_window = (jnp.mod(st2.steps, cfg.stall_window) == 0) & (st2.steps > 0)
+            stalled_now = (at_window & ~st2.done
+                           & (st2.lnt - st2.lnt_ck < cfg.stall_min_progress))
+            lnt_ck = jnp.where(at_window, st2.lnt, st2.lnt_ck)
+            st2 = st2._replace(stalled=st2.stalled | stalled_now, lnt_ck=lnt_ck,
+                               done=st2.done | stalled_now)
         st2 = st2._replace(
             ns_hit=st2.ns_hit | ns_now,
             maxed=st2.maxed | maxed_now,
@@ -350,6 +366,7 @@ def integrate_pool(
         ns_hit=st.ns_hit,
         maxed=st.maxed,
         steps=st.steps,
+        stalled=st.stalled,
     )
 
 
