@@ -119,7 +119,10 @@ def integrate_pool(
     x0_cart,                  # [B, 3] start positions (crossing start-rejection)
     max_crossings,            # [B] int: terminate after this many recorded crossings
     detect_events: bool = True,
-) -> PoolResult:
+    init_state: PoolState = None,   # resume from a prior (possibly compacted) state
+    iter_budget: int = None,        # stop after this many loop iterations
+    return_state: bool = False,     # also return the raw PoolState for resumption
+):
     """Advance a pool of rays from lnt0 to lnt1 with per-ray adaptive steps.
 
     Semantics mirror RayTracer.jl:171-452: crossings below 1.01 r_NS and
@@ -144,24 +147,27 @@ def integrate_pool(
     # pre-fill slot 0 with the initial state (saveat includes tspan[0])
     save_u0 = save_u0.at[:, 0, :].set(u0)
 
-    st = PoolState(
-        u=u0,
-        lnt=lnt0,
-        dt=dt_init,
-        f0=f_init,
-        g0=g_init,
-        done=jnp.zeros(B, bool) | (span <= 0),
-        ns_hit=jnp.zeros(B, bool),
-        cut_short=jnp.zeros(B, bool),
-        maxed=jnp.zeros(B, bool),
-        n_cross=jnp.zeros(B, jnp.int32),
-        cross_u=jnp.zeros((B, MAXC, u0.shape[-1]), dtype),
-        cross_lnt=jnp.zeros((B, MAXC), dtype),
-        save_u=save_u0,
-        steps=jnp.zeros(B, jnp.int32),
-        lnt_ck=lnt0,
-        stalled=jnp.zeros(B, bool),
-    )
+    if init_state is not None:
+        st = init_state
+    else:
+        st = PoolState(
+            u=u0,
+            lnt=lnt0,
+            dt=dt_init,
+            f0=f_init,
+            g0=g_init,
+            done=jnp.zeros(B, bool) | (span <= 0),
+            ns_hit=jnp.zeros(B, bool),
+            cut_short=jnp.zeros(B, bool),
+            maxed=jnp.zeros(B, bool),
+            n_cross=jnp.zeros(B, jnp.int32),
+            cross_u=jnp.zeros((B, MAXC, u0.shape[-1]), dtype),
+            cross_lnt=jnp.zeros((B, MAXC), dtype),
+            save_u=save_u0,
+            steps=jnp.zeros(B, jnp.int32),
+            lnt_ck=lnt0,
+            stalled=jnp.zeros(B, bool),
+        )
 
     taus_interior = jnp.linspace(0.0, 1.0, K + 1)[1:-1].astype(dtype)  # [K-1]
 
@@ -349,13 +355,20 @@ def integrate_pool(
         )
         return st2
 
-    st = lax.while_loop(lambda s: jnp.any(~s.done), body, st)
+    if iter_budget is None:
+        st = lax.while_loop(lambda s: jnp.any(~s.done), body, st)
+    else:
+        st, _ = lax.while_loop(
+            lambda c: jnp.any(~c[0].done) & (c[1] < iter_budget),
+            lambda c: (body(c[0]), c[1] + 1),
+            (st, jnp.zeros((), jnp.int32)),
+        )
 
     # fill save slots beyond each ray's final time with the terminal state
     past_end = save_lnt > st.lnt[:, None]
     save_u = jnp.where(past_end[:, :, None], st.u[:, None, :], st.save_u)
 
-    return PoolResult(
+    res = PoolResult(
         u=st.u,
         lnt=st.lnt,
         save_u=save_u,
@@ -368,6 +381,9 @@ def integrate_pool(
         steps=st.steps,
         stalled=st.stalled,
     )
+    if return_state:
+        return res, st
+    return res
 
 
 def _scatter_rows(buf, slot, rows):

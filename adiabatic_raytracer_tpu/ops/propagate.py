@@ -230,7 +230,11 @@ def propagate(
         detect_events=detect_events,
     )
 
-    # --- transforms back to Cartesian (RayTracer.jl:393-444) ---
+    return finalize_propagate(res, erg, sc, mass_eff, save_lnt)
+
+
+def finalize_propagate(res: PoolResult, erg, sc: Scene, mass_eff, save_lnt) -> PropagateResult:
+    """Transform a PoolResult back to Cartesian outputs (RayTracer.jl:393-444)."""
     save_x_sph = res.save_u[..., 0:3]
     save_w = res.save_u[..., 3:6] * erg[:, None, None]
     a_save = lapse_interior(save_x_sph[..., 0], mass_eff, sc.r_ns)

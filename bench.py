@@ -65,34 +65,39 @@ def main():
     v = jnp.asarray(v)
     erg = jnp.asarray(erg)
 
-    @jax.jit
-    def step(x0, k0, e):
-        res = propagate(
-            x0, k0, sc, cfg,
-            erg=e,
-            delta_w=-jnp.ones(B, x0.dtype),
-            lnt0=jnp.full(B, cfg.ln_t_start, x0.dtype),
-            lnt1=jnp.full(B, float(np.log(t_end)), x0.dtype),
-            is_photon=jnp.ones(B, bool),
-            max_crossings=jnp.ones(B, jnp.int32),
-            species="photon",
-        )
-        return res.traj[:, -1, :], res.steps, res.n_cross
+    # Chunked pool with straggler compaction: step-count distributions are
+    # heavy-tailed, so a monolithic lockstep pool runs at a few percent lane
+    # utilization; compaction moves the tail into small cheap pools.
+    from adiabatic_raytracer_tpu.ops.streaming import CompactedPropagator
 
-    # warmup / compile
-    traj, steps, ncross = jax.block_until_ready(step(x, v, erg))
+    chunk = int(os.environ.get("BENCH_CHUNK_ITERS", "192"))
+    cp = CompactedPropagator(sc, cfg, species="photon", chunk_iters=chunk,
+                             min_pool=128)
+
+    def step(x0):
+        return cp.run(
+            x0, v, erg,
+            -jnp.ones(B, x0.dtype),
+            jnp.full(B, cfg.ln_t_start, x0.dtype),
+            jnp.full(B, float(np.log(t_end)), x0.dtype),
+            jnp.ones(B, bool),
+            jnp.ones(B, jnp.int32),
+        )
+
+    # warmup / compile (all pool sizes)
+    res = step(x)
+    traj_np = np.asarray(res.traj[:, -1, :])
 
     # time with a host-side data dependency per rep (fresh perturbed inputs,
-    # full result fetch) so async dispatch / remote-relay buffering cannot
-    # fake a zero wall time
+    # full result fetch) so async dispatch cannot fake a zero wall time
     dts = []
     for i in range(reps):
-        xi = x + 1e-9 * (i + 1)
         t0 = time.perf_counter()
-        traj, steps, ncross = step(xi, v, erg)
-        traj_np = np.asarray(traj)
+        res = step(x + 1e-9 * (i + 1))
+        traj_np = np.asarray(res.traj[:, -1, :])
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
+    steps, ncross = res.steps, res.n_cross
     assert np.all(np.isfinite(traj_np))
 
     rays_per_sec = B / dt
