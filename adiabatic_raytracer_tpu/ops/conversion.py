@@ -9,7 +9,9 @@ Mirrors the reference layer L4a:
   * v_infinity / jacobian_fv   RayTracer.jl:756-790 (Liouville phase-space weight)
   * solve_vel_cs       RayTracer.jl:706-732  (Newton inverse; dead in prod path)
 
-All hand-rolled ForwardDiff dual seeding of the reference becomes `jax.grad`.
+All hand-rolled ForwardDiff dual seeding of the reference becomes forward-mode
+AD (`jax.jacfwd` — forward tangents stay O(1), so the f32 compute path cannot
+underflow the way reverse-mode cotangents do through 1e13-scale B fields).
 Functions are scalar per point; batch via `jax.vmap` at the call site.
 """
 
@@ -89,24 +91,24 @@ def dwp_ds(x_cart, ksphere, t, w_erg, sc: Scene, mass_ns, *, flat=False,
         return omega_p_sph(x, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
                            mass_a=sc.mass_a, bndry_lyr=bndry_lyr, zero_in=True)
 
-    grad_wp = jax.grad(wp_of)(x_sph)
+    grad_wp = jax.jacfwd(wp_of)(x_sph)
     grad_wp_norm = grad_wp / jnp.sqrt(_sdot(g, grad_wp, grad_wp))
     w_prime = _sdot(g, khat, grad_wp) + aniso_mix * _sdot(g, v_ortho, grad_wp)
 
-    grad_kg = jax.grad(
+    grad_kg = jax.jacfwd(
         lambda x: k_gamma(x, ksphere, t, erg_inf, sc, mass_ns,
                           bndry_lyr=bndry_lyr, flat=flat)
     )(x_sph)
     grad_kg_norm = grad_kg / jnp.sqrt(_sdot(g, grad_kg, grad_kg))
     k_prime = _sdot(g, khat, grad_kg) + aniso_mix * _sdot(g, v_ortho, grad_kg)
 
-    grad_om = jax.grad(
+    grad_om = jax.jacfwd(
         lambda x: omega_function(x, ksphere, t, sc, mass_ns, iso=sc.isotropic)
     )(x_sph)
     grad_om_norm = grad_om / jnp.sqrt(_sdot(g, grad_om, grad_om))
     cos_w = jnp.abs(_sdot(g, khat, grad_om_norm))
 
-    v_group = jax.grad(
+    v_group = jax.jacfwd(
         lambda k: omega_function(x_sph, k, t, sc, mass_ns, iso=sc.isotropic)
     )(ksphere)
     v_group = v_group / jnp.array([g_rr, g_thth, g_pp])
@@ -158,7 +160,7 @@ def conversion_prob(x_sph, ksphere, t, w_erg, sc: Scene, mass_ns, *, flat=False,
     erg_inf = jnp.sqrt(1.0 - 2.0 * G_NEW * mass_ns / rr / C_KM**2) * w_erg
 
     if sc.isotropic:
-        dmu_e = jax.grad(
+        dmu_e = jax.jacfwd(
             lambda x: omega_function(x, ksphere, t, sc, mass_ns, iso=True,
                                      kmag=kmag)
         )(x_sph)
@@ -167,17 +169,17 @@ def conversion_prob(x_sph, ksphere, t, w_erg, sc: Scene, mass_ns, *, flat=False,
         (g_rrr, g_rtt, g_rpp, g_trt, g_tpp, g_prp, g_ptp, g_ttr, g_ppr,
          g_ppt) = christoffel(x_sph, mass_ns)
 
-        dmu_wp = jax.grad(
+        dmu_wp = jax.jacfwd(
             lambda x: omega_p_sph(x, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
                                   mass_a=sc.mass_a, bndry_lyr=bndry_lyr,
                                   zero_in=True)
         )(x_sph)
-        dmu_babs = jax.grad(
+        dmu_babs = jax.jacfwd(
             lambda x: b_sph_component(x, t, sc.theta_m, sc.omega_pul, sc.b0,
                                       sc.r_ns, b_mass, 0)
         )(x_sph)
         grads_bi = [
-            jax.grad(
+            jax.jacfwd(
                 lambda x, c=c: b_sph_component(x, t, sc.theta_m, sc.omega_pul,
                                                sc.b0, sc.r_ns, b_mass, c)
             )(x_sph)
@@ -196,7 +198,7 @@ def conversion_prob(x_sph, ksphere, t, w_erg, sc: Scene, mass_ns, *, flat=False,
         dmu_ct = (term1 + jnp.array([term2_r, term2_t, term2_p])) / (kmag * bmag) \
             - ct * dmu_babs / bmag
 
-        v_group = jax.grad(
+        v_group = jax.jacfwd(
             lambda k: omega_function(x_sph, k, t, sc, mass_ns, iso=sc.isotropic)
         )(ksphere)
         vg1, vg2, vg3 = v_group[0], v_group[1], v_group[2]
@@ -266,7 +268,7 @@ def g_det(x_sph, t, sc: Scene, mass_ns, *, flat=False, bndry_lyr=-1.0):
         return omega_p_sph(x, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
                            mass_a=sc.mass_a, bndry_lyr=bndry_lyr, zero_in=False)
 
-    dwp = jax.grad(wp_of)(x_sph)
+    dwp = jax.jacfwd(wp_of)(x_sph)
     dr_th = dwp[0] ** -1 * dwp[1]
     dr_p = dwp[0] ** -1 * dwp[2]
     a = g_rr

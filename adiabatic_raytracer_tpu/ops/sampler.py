@@ -94,7 +94,8 @@ def _accept_crossing(p_cart, erg_inf, sc: Scene, mass_ns):
 
 
 def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
-               thick: bool = True, bisect_iters: int = 50, vmean: float = 220.0):
+               thick: bool = True, bisect_iters: int = 50, vmean: float = 220.0,
+               flat_sampling: bool = True):
     """Draw one conversion-surface sample (one event).  vmap over keys to batch.
 
     Follows the reference's sampling measure (RayTracer.jl:1483-1542):
@@ -110,7 +111,10 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
     theta_loc = jnp.arccos(1.0 - 2.0 * u[2])
     phi_loc = 2.0 * jnp.pi * u[3]
     phi_rnd = 2.0 * jnp.pi * u[4]
-    r_rnd = jnp.sqrt(u[5]) * maxR
+    if flat_sampling:
+        r_rnd = jnp.sqrt(u[5]) * maxR   # flat disk measure (find_samples_new)
+    else:
+        r_rnd = u[5] * maxR             # legacy 1/r measure (find_samples, RayTracer.jl:1674)
 
     vvec = jnp.stack([jnp.sin(theta_i) * jnp.cos(phi_i),
                       jnp.sin(theta_i) * jnp.sin(phi_i), jnp.cos(theta_i)])

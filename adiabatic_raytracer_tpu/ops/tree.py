@@ -37,9 +37,21 @@ def _negate_b(sc: Scene) -> Scene:
     return dataclasses.replace(sc, b0=-sc.b0)
 
 
-def _prob_batch(pos, k, erg_eff, sc: Scene):
-    """P = 1 - exp(-P_nonAD) at a batch of points (MainRunner.jl:134-137)."""
+def _prob_batch(pos, k, erg_eff, sc: Scene, compute_dtype: str = "state"):
+    """P = 1 - exp(-P_nonAD) at a batch of points (MainRunner.jl:134-137).
+
+    compute_dtype="f32": evaluate in f32 (TPU path; ~1e-7 relative accuracy,
+    far inside the 1e-4 parity contract) with f64 in/outputs."""
+    out_dtype = jnp.result_type(pos.dtype)
+    if compute_dtype == "f32":
+        from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
+
+        sc = _cast_tree(sc, jnp.float32)
+        pos = pos.astype(jnp.float32)
+        k = k.astype(jnp.float32)
+        erg_eff = erg_eff.astype(jnp.float32)
     p_nonad = jax.vmap(lambda x, kk, e: get_prob_nonad(x, kk, e, sc))(pos, k, erg_eff)
+    p_nonad = p_nonad.astype(out_dtype)
     return 1.0 - jnp.exp(-p_nonad), p_nonad
 
 
@@ -71,7 +83,7 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     sc_b = _negate_b(sc)
     k_back = -k_init
 
-    prob0, p_nonad0 = _prob_batch(xpos, k_back, erg_inf, sc_b)
+    prob0, p_nonad0 = _prob_batch(xpos, k_back, erg_inf, sc_b, cfg.compute_dtype)
 
     res = propagate(
         xpos, k_back, sc_b, cfg,
@@ -100,7 +112,7 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     flat_pos = res.xc.reshape(-1, 3)
     flat_k = res.kc.reshape(-1, 3)
     flat_erg = erg_eff.reshape(-1)
-    pc_flat, _ = _prob_batch(flat_pos, flat_k, flat_erg, sc_b)
+    pc_flat, _ = _prob_batch(flat_pos, flat_k, flat_erg, sc_b, cfg.compute_dtype)
     pc = jnp.where(valid, pc_flat.reshape(E, MAXC), 0.0)
 
     weight = jnp.prod(jnp.where(valid, 1.0 - pc, 1.0), axis=1)
@@ -208,7 +220,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
     pools = _alloc_pools(E, P, NS, dtype)
     # seed the parent photon: weight 1, prob from the conversion point
-    prob0, _ = _prob_batch(xpos, k_init, erg_inf, sc)
+    prob0, _ = _prob_batch(xpos, k_init, erg_inf, sc, cfg.compute_dtype)
     pools = pools._replace(
         pos=pools.pos.at[:, 0, :].set(xpos),
         k=pools.k.at[:, 0, :].set(k_init),
@@ -286,7 +298,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=1)
         cross_ok = has_cross & ~rare_fail
 
-        pcx, _ = _prob_batch(xc, kc, erg_inf * jnp.abs(dwcx), sc)
+        pcx, _ = _prob_batch(xc, kc, erg_inf * jnp.abs(dwcx), sc, cfg.compute_dtype)
 
         # --- record propagation results on the processed node ---
         upd = active
@@ -417,3 +429,21 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     info = jnp.where(out.count > tcfg.mc_nodes, -jnp.abs(out.info), out.info)
     return TreeResult(pools=out.pools, count=out.count, count_main=out.count_main,
                       info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc)
+
+
+def print_tree(result: TreeResult, event: int = 0):
+    """Debug dump of one event's tree (printTree, MainRunner.jl:6-15)."""
+    import numpy as np
+
+    pl = result.pools
+    status = np.asarray(pl.status[event])
+    weights = np.asarray(pl.weight[event])
+    species = np.asarray(pl.is_photon[event])
+    total = 0.0
+    print()
+    for p in np.nonzero(status > 0)[0]:
+        name = "photon" if species[p] else "axion"
+        print(f"{name}  {weights[p]}")
+        total += float(weights[p])
+    print(f"Total weight: {total}")
+    print()

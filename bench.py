@@ -35,7 +35,7 @@ def main():
     from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
     from adiabatic_raytracer_tpu.ops.propagate import propagate
 
-    B = int(os.environ.get("BENCH_RAYS", "1024"))
+    B = int(os.environ.get("BENCH_RAYS", "65536"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t_end = float(os.environ.get("BENCH_SPAN_T", "0.1"))
 
