@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--event_batch", type=int, default=16,
                    help="events propagated per vmapped batch")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
+    p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
+                   help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
     p.add_argument("--platform", type=str, default=None,
                    help="override JAX platform (cpu/tpu/axon)")
     return p
@@ -76,7 +78,13 @@ def main(argv=None) -> int:
         v_ns=(args.vNS_x, args.vNS_y, args.vNS_z),
         flat=False, isotropic=False, melrose=True,
     )
-    cfg = NumericsConfig(atol=1e-6, rtol=1e-7)
+    import jax
+
+    if args.computeDtype == "auto":
+        compute_dtype = "state" if jax.devices()[0].platform == "cpu" else "f32"
+    else:
+        compute_dtype = args.computeDtype
+    cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
                       mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
 

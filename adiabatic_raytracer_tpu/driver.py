@@ -48,8 +48,20 @@ class RunStats:
     wall_time: float = 0.0
 
 
-def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig):
-    """Launch momentum and importance weights (MainRunner.jl:498-558)."""
+def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
+                      compute_dtype: str = "state"):
+    """Launch momentum and importance weights (MainRunner.jl:498-558).
+
+    compute_dtype="f32": evaluate in f32 with f64 in/outputs (TPU path)."""
+    out_dtype = xpos.dtype
+    if compute_dtype == "f32":
+        from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
+
+        sc = _cast_tree(sc, jnp.float32)
+        xpos = xpos.astype(jnp.float32)
+        v_loc = v_loc.astype(jnp.float32)
+        erg_inf = erg_inf.astype(jnp.float32)
+        maxR = jnp.float32(maxR)
     E = xpos.shape[0]
     rmag = jnp.linalg.norm(xpos, axis=1)
     k_init = k_norm_cart(xpos, v_loc, 0.0, erg_inf, sc, sc.mass_ns,
@@ -74,7 +86,8 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig):
     phase_s = dense_extra * (2.0 * jnp.pi * maxR**2) * (sc.rho_dm * 1e9) / sc.mass_a * jac_gr
     sln_prob = (jnp.abs(cos_w) * redshift * phase_s * (1e5**2) * C_KM * 1e5
                 * tcfg.n_max_sample)
-    return k_init, sln_prob, cos_w, jac_v
+    return (k_init.astype(out_dtype), sln_prob.astype(out_dtype),
+            cos_w.astype(out_dtype), jac_v.astype(out_dtype))
 
 
 def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
@@ -110,10 +123,12 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
 
     sample_jit = jax.jit(
         lambda k, b: sampler.sample_batch(k, b, maxR, sc, sc.mass_ns,
-                                          n_grid=n_grid, n_max=n_max),
+                                          n_grid=n_grid, n_max=n_max,
+                                          compute_dtype=cfg.compute_dtype),
         static_argnums=1,
     )
-    kin_jit = jax.jit(lambda x, v, e: _event_kinematics(x, v, e, maxR, sc, tcfg))
+    kin_jit = jax.jit(lambda x, v, e: _event_kinematics(x, v, e, maxR, sc, tcfg,
+                                                        cfg.compute_dtype))
     bt_jit = jax.jit(lambda x, k, e: tree.backtrace(x, k, e, sc, cfg, tcfg,
                                                     lnt_end=lnt_end))
     fwd_jit = jax.jit(lambda kk, x, k, e: tree.forward_tree(kk, x, k, e, sc, cfg,
@@ -151,10 +166,11 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         stats.sample_attempts += attempts
         stats.f_inx += attempts - batch  # failures (MainRunner.jl:469,477)
 
-        xpos = jnp.asarray(np.stack(xs))
-        v_loc = jnp.asarray(np.stack(vs))
-        erg_inf = jnp.asarray(np.array(es))
-        v_ifty = np.stack(vifs)
+        # integration state stays f64 even when the sampler computed in f32
+        xpos = jnp.asarray(np.stack(xs).astype(np.float64))
+        v_loc = jnp.asarray(np.stack(vs).astype(np.float64))
+        erg_inf = jnp.asarray(np.array(es, np.float64))
+        v_ifty = np.stack(vifs).astype(np.float64)
 
         t_batch0 = time.time()
         k_init, sln_prob, cos_w, jac_v = kin_jit(xpos, v_loc, erg_inf)

@@ -95,7 +95,7 @@ def _accept_crossing(p_cart, erg_inf, sc: Scene, mass_ns):
 
 def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
                thick: bool = True, bisect_iters: int = 50, vmean: float = 220.0,
-               flat_sampling: bool = True):
+               flat_sampling: bool = True, compute_dtype: str = "state"):
     """Draw one conversion-surface sample (one event).  vmap over keys to batch.
 
     Follows the reference's sampling measure (RayTracer.jl:1483-1542):
@@ -103,7 +103,15 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
     isotropic local velocity direction, v_infinity ~ (220 + 1e-5 u)/sqrt(3)
     per component, line start offset -1.1 maxR, march length 2.2 maxR.
     """
-    dtype = jnp.result_type(float)
+    if compute_dtype == "f32":
+        from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
+
+        dtype = jnp.float32
+        sc = _cast_tree(sc, jnp.float32)
+        mass_ns = jnp.float32(mass_ns)
+        maxR = jnp.float32(maxR)
+    else:
+        dtype = jnp.result_type(float)
     ks = jax.random.split(key, 8)
     u = [jax.random.uniform(ks[i], dtype=dtype) for i in range(6)]
     theta_i = jnp.arccos(1.0 - 2.0 * u[0])
@@ -193,11 +201,11 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
 
 
 def sample_batch(key, batch: int, maxR, sc: Scene, mass_ns, *, n_grid: int,
-                 n_max: int = 6, thick: bool = True):
+                 n_max: int = 6, thick: bool = True, compute_dtype: str = "state"):
     keys = jax.random.split(key, batch)
     return jax.vmap(
         lambda k: sample_one(k, maxR, sc, mass_ns, n_grid=n_grid, n_max=n_max,
-                             thick=thick)
+                             thick=thick, compute_dtype=compute_dtype)
     )(keys)
 
 
