@@ -27,6 +27,21 @@ from adiabatic_raytracer_tpu.parallel.reduce import pulse_profile_from_pools
 EVENT_AXIS = "ev"
 
 
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (the DCN analogue of the reference's SLURM
+    fan-out, runner_GR_tasks.sh): call once per host before building the mesh;
+    afterwards `make_mesh()` spans all global devices and the shard_map
+    pipeline is unchanged.  No-op when JAX distributed is already initialized
+    or when args are absent and the environment provides no cluster config."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = EVENT_AXIS) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
