@@ -1,0 +1,539 @@
+"""Pallas megakernel: the entire adaptive DP5 integrator inside one TPU kernel.
+
+The XLA pool integrator's per-iteration latency is dispatch-bound (~1 ms for
+B <= 8k), and its lockstep spans the whole batch.  This kernel keeps a tile of
+8x128 = 1024 rays resident in VMEM and runs the full adaptive loop on-core:
+
+  * per-iteration cost is pure VPU arithmetic (~8 kflops/ray/step);
+  * lockstep shrinks from the whole batch to one tile (straggler waste is
+    bounded per 1024 rays, and tiles run independently across the grid);
+  * physics gradients are 7 directional `jax.jvp` passes of a block-wise
+    Hamiltonian — forward-mode, f32-exact on the VPU (no trig: the dipole
+    azimuthal factors come from Cartesian ratios and the rotation phase
+    cos/sin(omega*t) from the same Cody–Waite pattern would be needed only
+    for t-dependence; here the *time* dependence enters via psi = phi -
+    omega*t, handled with the precise polynomial sin/cos on scalars-free
+    block math below).
+
+Precision: state (u, lnt) is float-float (two f32 words, ~1e-14 effective) so
+13-decade log-time steps accumulate; the RHS is evaluated at the hi word
+(f32-grid trajectories — per-step rounding ~1 ulp, far inside the 1e-4 parity
+contract, cf. tests/test_precision.py).
+
+Scope (stage 1): photon rays, event detection with a single recorded crossing
+(the forward-tree production mode), NS-surface kill, stall cut, endpoint +
+step counts + crossing state outputs.  The trajectory save grid is handled by
+the caller from the endpoint (ntimes=3 production contract keeps start/end).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+from adiabatic_raytracer_tpu.constants import (
+    C_KM,
+    G_NEW,
+    GAUSS_TO_EV2,
+    HBAR,
+    INV_ALPHA,
+    M_E_EV,
+    SQRT_4PI_ALPHA,
+)
+
+# DP5 tableau (ops/integrator.py)
+_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0)
+_A = (
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+)
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84)
+_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+_E = tuple(b5 - b4 for b5, b4 in zip(_B5 + (0.0,), _B4))
+
+# Cody–Waite f32 sin/cos for the rotation phase (utils/precise.py pattern,
+# inlined so only mul/add/select lower into the kernel)
+_PI = math.pi
+
+
+def _split3(v, bits=11):
+    def trunc(x):
+        if x == 0.0:
+            return 0.0
+        e = math.floor(math.log2(abs(x)))
+        q = 2.0 ** (e - bits + 1)
+        return math.floor(x / q) * q
+
+    hi = trunc(v)
+    mid = trunc(v - hi)
+    return float(hi), float(mid), float(v - hi - mid)
+
+
+_PI_HI, _PI_MID, _PI_LO = _split3(_PI)
+
+def _fit_trig():
+    import numpy as _np
+
+    n = 2000
+    x = _np.pi / 2 * _np.cos(_np.linspace(0, _np.pi, n))
+    z = x**2
+    A = _np.vander(z, 6, increasing=True)
+    sin_c = _np.linalg.lstsq(A, _np.sin(x) / _np.where(_np.abs(x) < 1e-9, 1, x),
+                             rcond=None)[0]
+    cos_c = _np.linalg.lstsq(_np.vander(z, 7, increasing=True), _np.cos(x),
+                             rcond=None)[0]
+    return tuple(float(v) for v in sin_c), tuple(float(v) for v in cos_c)
+
+
+_SIN_C, _COS_C = _fit_trig()
+
+
+def _sincos(x):
+    n = jnp.round(x * (1.0 / _PI))
+    r = ((x - n * _PI_HI) - n * _PI_MID) - n * _PI_LO
+    odd = jnp.mod(n, 2.0) > 0.5
+    z = r * r
+    s = _SIN_C[-1]
+    for c in _SIN_C[-2::-1]:
+        s = s * z + c
+    s = s * r
+    cc = _COS_C[-1]
+    for c in _COS_C[-2::-1]:
+        cc = cc * z + c
+    return jnp.where(odd, -s, s), jnp.where(odd, -cc, cc)
+
+
+def _exp32(x):
+    ln2 = math.log(2.0)
+    h, m, l = _split3(ln2)
+    n = jnp.round(x * (1.0 / ln2))
+    r = ((x - n * h) - n * m) - n * l
+    # exp(r) for |r| <= ln2/2: degree-7 Taylor is ~1e-8 accurate here
+    out = 1.0 + r * (1.0 + r * (0.5 + r * (1 / 6 + r * (1 / 24 + r * (1 / 120 + r * (1 / 720 + r / 5040))))))
+    ni = jnp.clip(n, -126.0, 127.0).astype(jnp.int32)
+    two_n = lax.bitcast_convert_type(((ni + 127) << 23).astype(jnp.int32), jnp.float32)
+    return jnp.where(x < -87.0, 0.0, out * two_n)
+
+
+def _ff_add(hi, lo, d):
+    """(hi, lo) + d with error compensation (TwoSum)."""
+    s = hi + d
+    bb = s - hi
+    err = (hi - (s - bb)) + (d - bb)
+    lo2 = lo + err
+    # renormalize
+    hi2 = s + lo2
+    lo3 = lo2 - (hi2 - s)
+    return hi2, lo3
+
+
+class SceneConsts:
+    """Static f32 scalars baked into the kernel."""
+
+    def __init__(self, sc: Scene, cfg: NumericsConfig):
+        self.cm = math.cos(float(sc.theta_m))
+        self.sm = math.sin(float(sc.theta_m))
+        self.omega = float(sc.omega_pul)
+        self.b0 = float(sc.b0)
+        self.r_ns = float(sc.r_ns)
+        self.mass_ns = float(sc.mass_ns_eff)
+        self.mass_a = float(sc.mass_a)
+        self.rs0 = 2.0 * G_NEW * self.mass_ns / C_KM**2
+        self.isotropic = bool(sc.isotropic)
+        self.rtol = float(cfg.rtol)
+        self.atol = float(cfg.atol)
+        self.dt_min = float(cfg.dt_min)
+        self.safety = float(cfg.safety)
+        self.min_fac = float(cfg.min_dt_factor)
+        self.max_fac = float(cfg.max_dt_factor)
+        self.max_steps = int(cfg.max_steps)
+        self.interp = int(cfg.interp_points)
+        self.bisect = int(min(cfg.bisect_iters, 30))  # f32 root: 30 suffices
+        self.stall_window = int(cfg.stall_window)
+        self.stall_min = float(cfg.stall_min_progress)
+
+
+def _metric(C, r, sin_th):
+    inside = r <= C.r_ns
+    rs = jnp.where(inside, C.rs0 * (r / C.r_ns) ** 3, C.rs0)
+    one_m = 1.0 - rs / r
+    g_tt = jnp.where(
+        inside,
+        -4.0 / (3.0 * jnp.sqrt(jnp.clip(1.0 - rs / C.r_ns, 1e-30, None))
+                - jnp.sqrt(jnp.clip(1.0 - r**2 * rs / C.r_ns**3, 1e-30, None))) ** 2,
+        -1.0 / one_m,
+    )
+    g_rr = jnp.where(inside, 1.0 - r**2 * rs / C.r_ns**3, one_m)
+    return g_tt, g_rr, 1.0 / r**2, 1.0 / (r * sin_th) ** 2
+
+
+def _dipole(C, r, cz, sin_th, cphi, sphi, time):
+    """GJ dipole orthonormal components at spherical point; the rotation by
+    omega*t uses cos/sin(psi) = cos/sin(phi - omega t) via angle addition."""
+    swt, cwt = _sincos(C.omega * time)
+    cp = cphi * cwt + sphi * swt      # cos(phi - wt)
+    sp = sphi * cwt - cphi * swt      # sin(phi - wt)
+    bnorm = C.b0 * (C.r_ns / r) ** 3 / 2.0
+    br = 2.0 * bnorm * (C.cm * cz + C.sm * sin_th * cp)
+    btheta = bnorm * (C.cm * sin_th - C.sm * cz * cp)
+    bphi = bnorm * C.sm * sp
+    return br, btheta, bphi
+
+
+def _omega_p(C, br, btheta, cz, sin_th, r, zero_in=True):
+    bz = br * cz - btheta * sin_th
+    nelec = jnp.abs(2.0 * C.omega * bz) / SQRT_4PI_ALPHA * GAUSS_TO_EV2 * HBAR
+    wp = jnp.sqrt(4.0 * jnp.pi * nelec / INV_ALPHA / M_E_EV)
+    if zero_in:
+        wp = jnp.where(r <= C.r_ns, 0.0, wp)
+    return wp
+
+
+def _hamiltonian(C, x1, x2, x3, k1, k2, k3, time, erg):
+    """Melrose photon Hamiltonian on blocks; x = (r, theta, phi) with theta
+    entering only through sin/cos (computed via _sincos), k covariant."""
+    r = jnp.maximum(x1, C.r_ns)
+    s_th, c_th = _sincos(x2)
+    s_ph, c_ph = _sincos(x3)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th)
+    br, btheta, bphi = _dipole(C, r, c_th, s_th, c_ph, s_ph, time)
+    wp = _omega_p(C, br, btheta, c_th, s_th, r)
+    ksqr = g_tt * erg**2 + g_rr * k1**2 + g_thth * k2**2 + g_pp * k3**2
+    if C.isotropic:
+        return 0.5 * (ksqr + wp**2)
+    bl_r = br / jnp.sqrt(g_rr)
+    bl_t = btheta / jnp.sqrt(g_thth)
+    bl_p = bphi / jnp.sqrt(g_pp)
+    bmag = jnp.sqrt(g_rr * bl_r**2 + g_thth * bl_t**2 + g_pp * bl_p**2)
+    kp = (g_rr * k1 * bl_r + g_thth * k2 * bl_t + g_pp * k3 * bl_p) / bmag
+    e2 = erg**2 / g_rr
+    return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2)
+
+
+def _condition(C, u, lnt):
+    """Thick-surface crossing condition (ops/propagate.py:crossing_condition)."""
+    x1, x2, x3, w1, w2, w3, e7 = u
+    t = _exp32(lnt)
+    r = x1
+    s_th, c_th = _sincos(x2)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th)
+    wsq = g_rr * w1**2 + g_thth * w2**2 + g_pp * w3**2
+    nrm = jnp.sqrt((-(e7**2) * g_tt - C.mass_a**2) / wsq)
+    ww1, ww2, ww3 = w1 * nrm, w2 * nrm, w3 * nrm
+    s_ph, c_ph = _sincos(x3)
+    br, btheta, bphi = _dipole(C, r, c_th, s_th, c_ph, s_ph, t)
+    wp = _omega_p(C, br, btheta, c_th, s_th, r)
+    if C.isotropic:
+        kp = jnp.zeros_like(wp)
+    else:
+        bl_r = br / jnp.sqrt(g_rr)
+        bl_t = btheta / jnp.sqrt(g_thth)
+        bl_p = bphi / jnp.sqrt(g_pp)
+        bmag = jnp.sqrt(g_rr * bl_r**2 + g_thth * bl_t**2 + g_pp * bl_p**2)
+        kp = (g_rr * ww1 * bl_r + g_thth * ww2 * bl_t + g_pp * ww3 * bl_p) / bmag
+    ksqr = g_tt * e7**2 + g_rr * ww1**2 + g_thth * ww2**2 + g_pp * ww3**2
+    e2 = e7**2 / g_rr
+    return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / e7**2
+
+
+def _rhs(C, u, lnt, erg):
+    """Photon Hamilton equations via 7 directional jvp passes (du for the
+    7-component state tuple)."""
+    x1, x2, x3, w1, w2, w3, e7 = u
+    t = _exp32(lnt)
+    time = t  # time0 = 0
+    k1, k2, k3 = w1 * erg, w2 * erg, w3 * erg
+    r = jnp.maximum(x1, C.r_ns)
+    s_th, _ = _sincos(x2)
+    _, g_rr, _, _ = _metric(C, r, s_th)
+
+    def h6(a1, a2, a3, b1, b2, b3):
+        return _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
+
+    prim = (x1, x2, x3, k1, k2, k3)
+    zeros = jnp.zeros_like(x1)
+    ones = jnp.ones_like(x1)
+    grads = []
+    for i in range(6):
+        tang = tuple(ones if j == i else zeros for j in range(6))
+        _, dh = jax.jvp(h6, prim, tang)
+        grads.append(dh)
+    dh_x = grads[0:3]
+    dh_k = grads[3:6]
+    _, dh_t = jax.jvp(lambda tt: _hamiltonian(C, x1, x2, x3, k1, k2, k3, tt, -e7),
+                      (time,), (ones,))
+
+    fac = C_KM * t * g_rr / (-e7)
+    du_x = tuple(d * fac for d in dh_k)
+    du_w = tuple(-d * fac / erg for d in dh_x)
+    du_e7 = dh_t * t * g_rr / (-e7)
+    frozen = x1 <= C.r_ns * 1.01
+    z = jnp.where
+    return tuple(z(frozen, 0.0, d) for d in (du_x + du_w + (du_e7,)))
+
+
+def _hermite(u0, u1, f0, f1, h, tau):
+    t2 = tau * tau
+    t3 = t2 * tau
+    return tuple(
+        (2 * t3 - 3 * t2 + 1) * a + (t3 - 2 * t2 + tau) * h * fa
+        + (-2 * t3 + 3 * t2) * b + (t3 - t2) * h * fb
+        for a, b, fa, fb in zip(u0, u1, f0, f1)
+    )
+
+
+def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
+                 *, C: SceneConsts, max_crossings: int):
+    """One tile of rays, full adaptive integration.
+
+    Layouts put the 128-lane axis last and the component index on the middle
+    (sublane-packed) axis:
+    uin/uout: [T, 8, 128]  (7 state comps + pad)
+    aux:      [T, 8, 128]  (lnt0, lnt1, erg, x0_cart(3), pad2)
+    lnt:      [T, 2, 128]  (final lnt hi/lo)
+    diag:     [T, 8, 128]  (steps, done-code, n_cross, g-at-end, pad)
+    cross:    [T, 8, 128]  (crossing u(7) + lnt_c)
+    """
+    u = tuple(uin_ref[:, i, :] for i in range(7))
+    u_lo = tuple(jnp.zeros_like(u[0]) for _ in range(7))
+    lnt = aux_ref[:, 0, :]
+    lnt_lo = jnp.zeros_like(lnt)
+    lnt1 = aux_ref[:, 1, :]
+    erg = aux_ref[:, 2, :]
+    x0c = tuple(aux_ref[:, 3 + i, :] for i in range(3))
+
+    f0 = _rhs(C, u, lnt, erg)
+    g0 = _condition(C, u, lnt)
+
+    # initial dt (Hairer-lite, cf. integrator._initial_dt)
+    def nrm(vs, us):
+        acc = 0.0
+        for v, uu in zip(vs, us):
+            sc_ = C.atol + C.rtol * jnp.abs(uu)
+            acc = acc + (v / sc_) ** 2
+        return jnp.sqrt(acc / 7.0)
+
+    d0 = nrm(u, u)
+    d1 = nrm(f0, u)
+    dt = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    dt = jnp.minimum(dt, 0.1 * jnp.maximum(lnt1 - lnt, 1e-30))
+
+    # carried masks are f32 (Mosaic cannot yield i1 vectors from scf.while)
+    done = jnp.where(lnt1 <= lnt, 1.0, 0.0)
+    steps = jnp.zeros_like(lnt)
+    n_cross = jnp.zeros_like(lnt)
+    cross_u = tuple(jnp.zeros_like(lnt) for _ in range(7))
+    cross_lnt = jnp.zeros_like(lnt)
+    code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
+    lnt_ck = lnt
+
+    def cond_fn(carry):
+        done_f = carry[0]
+        it = carry[-1]
+        return jnp.logical_and(jnp.min(done_f) < 0.5, it < C.max_steps)
+
+    def body(carry):
+        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
+         cross_lnt, code, lnt_ck, it) = carry
+        done = done_f > 0.5
+        active = jnp.logical_not(done)
+        h = jnp.clip(lnt1 - lnt, 0.0, None)
+        h = jnp.minimum(dt, h)
+
+        ks = [f0]
+        for i in range(5):
+            ui = tuple(
+                uu + h * sum(a * kk[j] for a, kk in zip(_A[i], ks))
+                for j, uu in enumerate(u)
+            )
+            ks.append(_rhs(C, ui, lnt + _C[i + 1] * h, erg))
+        u_new = tuple(
+            uu + h * sum(b * kk[j] for b, kk in zip(_B5, ks))
+            for j, uu in enumerate(u)
+        )
+        f_new = _rhs(C, u_new, lnt + h, erg)
+        ks7 = ks + [f_new]
+        err_acc = 0.0
+        for j in range(7):
+            e = h * sum(ei * kk[j] for ei, kk in zip(_E, ks7))
+            sc_ = C.atol + C.rtol * jnp.maximum(jnp.abs(u[j]), jnp.abs(u_new[j]))
+            err_acc = err_acc + (e / sc_) ** 2
+        enorm = jnp.sqrt(err_acc / 7.0)
+        forced = dt <= C.dt_min * 1.0000001
+        accept = ((enorm <= 1.0) | forced) & active & (h > 0)
+
+        fac = C.safety * jnp.where(enorm > 0, enorm, 1e-10) ** -0.2
+        fac = jnp.clip(fac, C.min_fac, C.max_fac)
+        dt_next = jnp.where(active, jnp.maximum(dt * fac, C.dt_min), dt)
+
+        g_new = _condition(C, u_new, lnt + h)
+
+        # --- event scan on the Hermite interpolant ---
+        K = C.interp
+        flip_found = jnp.zeros_like(done)
+        tau_lo = jnp.zeros_like(lnt)
+        tau_hi = jnp.zeros_like(lnt)
+        g_prev = g0
+        tau_prev = jnp.zeros_like(lnt)
+        for j in range(1, K + 1):
+            tau_j = j / K
+            if j < K:
+                u_j = _hermite(u, u_new, f0, f_new, h, tau_j)
+                g_j = _condition(C, u_j, lnt + tau_j * h)
+            else:
+                g_j = g_new
+            flip = (jnp.sign(g_prev) * jnp.sign(g_j) < 0) & ~flip_found
+            tau_lo = jnp.where(flip, tau_prev, tau_lo)
+            tau_hi = jnp.where(flip, tau_j, tau_hi)
+            flip_found = flip_found | flip
+            g_prev = g_j
+            tau_prev = jnp.full_like(lnt, tau_j)
+        flip_found = flip_found & accept
+
+        # bisection (masked; ~30 iters)
+        g_lo = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_lo), lnt + tau_lo * h)
+        for _ in range(C.bisect):
+            tau_mid = 0.5 * (tau_lo + tau_hi)
+            g_mid = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_mid),
+                               lnt + tau_mid * h)
+            left = jnp.sign(g_mid) == jnp.sign(g_lo)
+            tau_lo = jnp.where(left, tau_mid, tau_lo)
+            g_lo = jnp.where(left, g_mid, g_lo)
+            tau_hi = jnp.where(left, tau_hi, tau_mid)
+        tau_star = 0.5 * (tau_lo + tau_hi)
+        u_star = _hermite(u, u_new, f0, f_new, h, tau_star)
+        lnt_star = lnt + tau_star * h
+
+        # acceptance filters: start-dup (factor 1.0001 per |cart comp|) and
+        # r < 1.01 r_ns (ops/integrator.py:_process_events)
+        r_s = u_star[0]
+        sth, cth = _sincos(u_star[1])
+        sph, cph = _sincos(u_star[2])
+        pc = (r_s * sth * cph, r_s * sth * sph, r_s * cth)
+        s = 1.0001
+        within = jnp.ones_like(done)
+        for p, p0 in zip(pc, x0c):
+            within = within & (jnp.abs(p) < jnp.abs(p0) * s) & (jnp.abs(p) > jnp.abs(p0) / s)
+        start_dup = within & (n_cross < 0.5)
+        record = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) & (n_cross < max_crossings)
+
+        cross_u = tuple(jnp.where(record, us, cu) for us, cu in zip(u_star, cross_u))
+        cross_lnt = jnp.where(record, lnt_star, cross_lnt)
+        n_cross2 = n_cross + jnp.where(record, 1.0, 0.0)
+        term_cross = record & (n_cross2 >= max_crossings)
+
+        # commit accepted state (float-float accumulation)
+        u2 = []
+        u_lo2 = []
+        for j in range(7):
+            d = u_new[j] - u[j]
+            hi, lo = _ff_add(u[j], u_lo[j], jnp.where(accept, d, 0.0))
+            # terminate-at-crossing overrides
+            hi = jnp.where(term_cross, u_star[j], hi)
+            lo = jnp.where(term_cross, 0.0, lo)
+            u2.append(hi)
+            u_lo2.append(lo)
+        u2 = tuple(u2)
+        u_lo2 = tuple(u_lo2)
+        lnt2, lnt_lo2 = _ff_add(lnt, lnt_lo, jnp.where(accept, h, 0.0))
+        lnt2 = jnp.where(term_cross, lnt_star, lnt2)
+        lnt_lo2 = jnp.where(term_cross, 0.0, lnt_lo2)
+
+        f02 = tuple(jnp.where(accept, fn, ff) for fn, ff in zip(f_new, f0))
+        g02 = jnp.where(accept, g_new, g0)
+
+        steps2 = steps + jnp.where(active, 1.0, 0.0)
+
+        ns_hit = accept & (u2[0] < C.r_ns * 1.01) & ~done
+        reached = accept & (lnt2 >= lnt1 - 1e-6) & ~done
+        maxed = (steps2 >= C.max_steps) & ~done
+        at_win = (jnp.mod(steps2, C.stall_window) < 0.5) & (steps2 > 0.5)
+        stalled = at_win & ~done & (lnt2 - lnt_ck < C.stall_min)
+        lnt_ck2 = jnp.where(at_win, lnt2, lnt_ck)
+
+        code2 = code
+        for flag, val in ((term_cross, 3.0), (ns_hit, 2.0), (reached, 1.0),
+                          (maxed, 4.0), (stalled, 5.0)):
+            code2 = jnp.where(flag & (code2 < 0.5), val, code2)
+        done2 = done | term_cross | ns_hit | reached | maxed | stalled
+        done2_f = jnp.where(done2, 1.0, 0.0)
+
+        return (done2_f, u2, u_lo2, lnt2, lnt_lo2, dt_next, f02, g02, steps2,
+                n_cross2, cross_u, cross_lnt, code2, lnt_ck2, it + 1)
+
+    carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
+             cross_lnt, code, lnt_ck, jnp.zeros((), jnp.int32))
+    out = lax.while_loop(cond_fn, body, carry)
+    (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
+     cross_lnt, code, lnt_ck, _) = out
+
+    for i in range(7):
+        uout_ref[:, i, :] = u[i] + u_lo[i]
+    uout_ref[:, 7, :] = jnp.zeros_like(u[0])
+    lnt_ref[:, 0, :] = lnt
+    lnt_ref[:, 1, :] = lnt_lo
+    diag_ref[:, 0, :] = steps
+    diag_ref[:, 1, :] = code
+    diag_ref[:, 2, :] = n_cross
+    diag_ref[:, 3, :] = g0
+    for i in range(4, 8):
+        diag_ref[:, i, :] = jnp.zeros_like(steps)
+    for i in range(7):
+        cross_ref[:, i, :] = cross_u[i]
+    cross_ref[:, 7, :] = cross_lnt
+
+
+def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
+                   *, max_crossings: int = 1, tile_rows: int = 8):
+    """Run the megakernel over a [B, 7] photon state batch (B = rows*128,
+    rows % tile_rows == 0).  Returns (u_final [B,7], lnt_final [B],
+    steps [B], code [B], n_cross [B], cross_u [B,7], cross_lnt [B])."""
+    B = u0.shape[0]
+    L = 128
+    assert B % (L * tile_rows) == 0, B
+    R = B // L
+    f32 = jnp.float32
+
+    def to_rl(x):
+        return x.astype(f32).reshape(R, L)
+
+    uin = jnp.stack([to_rl(u0[:, i]) for i in range(7)]
+                    + [jnp.zeros((R, L), f32)], axis=1)          # [R, 8, L]
+    aux = jnp.stack([to_rl(lnt0), to_rl(lnt1), to_rl(erg),
+                     to_rl(x0_cart[:, 0]), to_rl(x0_cart[:, 1]),
+                     to_rl(x0_cart[:, 2]), jnp.zeros((R, L), f32),
+                     jnp.zeros((R, L), f32)], axis=1)            # [R, 8, L]
+
+    C = SceneConsts(sc, cfg)
+    kernel = functools.partial(_mega_kernel, C=C, max_crossings=max_crossings)
+    grid = (R // tile_rows,)
+    bs = lambda d: pl.BlockSpec((tile_rows, d, L), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        uout, lntout, diag, cross = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, 2, L), f32),
+                jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, 8, L), f32),
+            ),
+            grid=grid,
+            in_specs=[bs(8), bs(8)],
+            out_specs=(bs(8), bs(2), bs(8), bs(8)),
+        )(uin, aux)
+    uf = jnp.stack([uout[:, i, :].reshape(B) for i in range(7)], axis=1)
+    lntf = (lntout[:, 0, :] + lntout[:, 1, :]).reshape(B)
+    dg = lambda i: diag[:, i, :].reshape(B)
+    cr = jnp.stack([cross[:, i, :].reshape(B) for i in range(7)], axis=1)
+    return (uf, lntf, dg(0), dg(1), dg(2), cr, cross[:, 7, :].reshape(B))

@@ -65,39 +65,77 @@ def main():
     v = jnp.asarray(v)
     erg = jnp.asarray(erg)
 
-    # Chunked pool with straggler compaction: step-count distributions are
-    # heavy-tailed, so a monolithic lockstep pool runs at a few percent lane
-    # utilization; compaction moves the tail into small cheap pools.
-    from adiabatic_raytracer_tpu.ops.streaming import CompactedPropagator
+    # Engine selection: "mega" = the Pallas megakernel (whole adaptive loop
+    # in one TPU kernel, tile-level lockstep; ops/megakernel.py) — default on
+    # TPU; "pool" = the XLA pool with chunked straggler compaction.
+    engine = os.environ.get(
+        "BENCH_ENGINE", "mega" if platform != "cpu" and B % 1024 == 0 else "pool")
 
-    chunk = int(os.environ.get("BENCH_CHUNK_ITERS", "192"))
-    cp = CompactedPropagator(sc, cfg, species="photon", chunk_iters=chunk,
-                             min_pool=128)
+    if engine == "mega":
+        from adiabatic_raytracer_tpu.ops import megakernel as mk
+        from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+        from adiabatic_raytracer_tpu.ops.geometry import (
+            cart_to_sph, celerity_from_cart)
 
-    def step(x0):
-        return cp.run(
-            x0, v, erg,
-            -jnp.ones(B, x0.dtype),
-            jnp.full(B, cfg.ln_t_start, x0.dtype),
-            jnp.full(B, float(np.log(t_end)), x0.dtype),
-            jnp.ones(B, bool),
-            jnp.ones(B, jnp.int32),
-        )
+        k0n = k_norm_cart(x, v, 0.0, erg, sc, sc.mass_ns, is_photon=True,
+                          ax_fix=True)
+        w0 = celerity_from_cart(x, k0n, sc.mass_ns_eff) / erg[:, None]
+        u0 = jnp.concatenate([cart_to_sph(x), w0, (-erg)[:, None]], axis=1)
+        lnt0 = jnp.full(B, cfg.ln_t_start)
+        lnt1 = jnp.full(B, float(np.log(t_end)))
+        fmega = jax.jit(lambda u, xc: mk.integrate_mega(u, lnt0, lnt1, erg, xc,
+                                                        sc, cfg))
 
-    # warmup / compile (all pool sizes)
-    res = step(x)
-    traj_np = np.asarray(res.traj[:, -1, :])
+        def step(eps):
+            # perturb the launch state so every rep is fresh work
+            uf, lntf, steps, code, ncross, cru, crlnt = fmega(
+                u0.at[:, 0].add(eps), x)
+            return uf, steps, ncross
 
-    # time with a host-side data dependency per rep (fresh perturbed inputs,
-    # full result fetch) so async dispatch cannot fake a zero wall time
-    dts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        res = step(x + 1e-9 * (i + 1))
+        out = step(0.0)
+        traj_np = np.asarray(out[0])
+        dts = []
+        for i in range(max(reps, 2)):
+            t0 = time.perf_counter()
+            out = step(1e-7 * (i + 1))
+            traj_np = np.asarray(out[0])
+            dts.append(time.perf_counter() - t0)
+        dt = float(np.min(dts))
+        steps, ncross = out[1], out[2]
+    else:
+        # Chunked pool with straggler compaction: step-count distributions are
+        # heavy-tailed, so a monolithic lockstep pool runs at a few percent
+        # lane utilization; compaction moves the tail into small cheap pools.
+        from adiabatic_raytracer_tpu.ops.streaming import CompactedPropagator
+
+        chunk = int(os.environ.get("BENCH_CHUNK_ITERS", "192"))
+        cp = CompactedPropagator(sc, cfg, species="photon", chunk_iters=chunk,
+                                 min_pool=128)
+
+        def step(x0):
+            return cp.run(
+                x0, v, erg,
+                -jnp.ones(B, x0.dtype),
+                jnp.full(B, cfg.ln_t_start, x0.dtype),
+                jnp.full(B, float(np.log(t_end)), x0.dtype),
+                jnp.ones(B, bool),
+                jnp.ones(B, jnp.int32),
+            )
+
+        # warmup / compile (all pool sizes)
+        res = step(x)
         traj_np = np.asarray(res.traj[:, -1, :])
-        dts.append(time.perf_counter() - t0)
-    dt = float(np.median(dts))
-    steps, ncross = res.steps, res.n_cross
+
+        # time with a host-side data dependency per rep (fresh perturbed
+        # inputs, full result fetch) so async dispatch cannot fake a zero wall
+        dts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            res = step(x + 1e-9 * (i + 1))
+            traj_np = np.asarray(res.traj[:, -1, :])
+            dts.append(time.perf_counter() - t0)
+        dt = float(np.median(dts))
+        steps, ncross = res.steps, res.n_cross
     assert np.all(np.isfinite(traj_np))
 
     rays_per_sec = B / dt
@@ -114,8 +152,9 @@ def main():
         "crossings_frac": round(float(np.mean(np.asarray(ncross) > 0)), 3),
         "rtol": 1e-7,
         "atol": 1e-6,
-        "state_dtype": "float64",
+        "state_dtype": "float64" if engine == "pool" else "float-float32",
         "compute_dtype": compute_dtype,
+        "engine": engine,
         "platform": platform,
     }
     print(json.dumps(out))

@@ -1,0 +1,70 @@
+"""Megakernel vs the standard pool integrator (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_megakernel_matches_pool():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+    from adiabatic_raytracer_tpu.ops.geometry import cart_to_sph, celerity_from_cart
+    from adiabatic_raytracer_tpu.ops.propagate import propagate
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig(interp_points=8, compute_dtype="f32", max_steps=3000)
+    B = 128
+    rng = np.random.default_rng(0)
+    r = rng.uniform(14.0, 24.0, B)
+    th = np.arccos(rng.uniform(-0.9, 0.9, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = rng.normal(size=(B, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+    t_end = 1e-3
+
+    ref = propagate(jnp.asarray(x), jnp.asarray(v), sc, cfg,
+                    erg=jnp.asarray(erg), delta_w=-jnp.ones(B),
+                    lnt0=jnp.full(B, cfg.ln_t_start),
+                    lnt1=jnp.full(B, float(np.log(t_end))),
+                    is_photon=jnp.ones(B, bool),
+                    max_crossings=jnp.ones(B, jnp.int32), species="photon")
+
+    k0n = k_norm_cart(jnp.asarray(x), jnp.asarray(v), 0.0, jnp.asarray(erg),
+                      sc, sc.mass_ns, is_photon=True, ax_fix=True)
+    w0 = celerity_from_cart(jnp.asarray(x), k0n, sc.mass_ns_eff) / jnp.asarray(erg)[:, None]
+    u0 = jnp.concatenate([cart_to_sph(jnp.asarray(x)), w0,
+                          (-jnp.asarray(erg))[:, None]], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        uf, lntf, steps, code, ncross, cru, crlnt = mk.integrate_mega(
+            u0, jnp.full(B, cfg.ln_t_start), jnp.full(B, float(np.log(t_end))),
+            jnp.asarray(erg), jnp.asarray(x), sc, cfg, tile_rows=1)
+
+    # identical crossing topology
+    np.testing.assert_array_equal(np.asarray(ref.n_cross),
+                                  np.asarray(ncross).astype(int))
+    # step counts within a few percent (f32 vs mixed-state controller noise)
+    s_ref = np.asarray(ref.steps)
+    s_mega = np.asarray(steps)
+    assert np.mean(np.abs(s_mega - s_ref)) < 0.1 * s_ref.mean()
+    # endpoints: f32 state vs f64 state, well under the 1e-4 contract on
+    # end-reached rays
+    ok = np.asarray(code) == 1.0
+    assert ok.sum() > B // 2
+    r_ref = np.linalg.norm(np.asarray(ref.traj[:, -1, :]), axis=1)
+    rel = np.abs(np.asarray(uf[:, 0]) - r_ref) / r_ref
+    assert np.median(rel[ok]) < 5e-5, np.median(rel[ok])
+    assert np.max(rel[ok]) < 1e-3, np.max(rel[ok])
+    # crossing positions agree where both found one
+    both = (np.asarray(ref.n_cross) >= 1)
+    rc_ref = np.linalg.norm(np.asarray(ref.xc[:, 0, :]), axis=1)
+    rel_c = np.abs(np.asarray(cru[:, 0]) - rc_ref) / np.maximum(rc_ref, 1.0)
+    assert np.median(rel_c[both]) < 1e-4
