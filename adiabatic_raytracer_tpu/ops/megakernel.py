@@ -494,13 +494,13 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
 
 
 def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
-                   *, max_crossings: int = 1, tile_rows: int = 8):
+                   *, max_crossings: int = 1, tile_rows: int = 1):
     """Run the megakernel over a [B, 7] photon state batch (B = rows*128,
     rows % tile_rows == 0).  Returns (u_final [B,7], lnt_final [B],
     steps [B], code [B], n_cross [B], cross_u [B,7], cross_lnt [B])."""
     B = u0.shape[0]
     L = 128
-    assert B % (L * tile_rows) == 0, B
+    assert B % (L * tile_rows) == 0, B  # tile_rows=1 (128-ray tiles) benches best: tightest lockstep
     R = B // L
     f32 = jnp.float32
 
