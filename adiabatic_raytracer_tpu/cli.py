@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
+    p.add_argument("--engine", choices=["auto", "pool", "mega"], default="auto",
+                   help="tree propagation engine; auto = megakernel on TPU")
     p.add_argument("--platform", type=str, default=None,
                    help="override JAX platform (cpu/tpu/axon)")
     return p
@@ -84,7 +86,12 @@ def main(argv=None) -> int:
         compute_dtype = "state" if jax.devices()[0].platform == "cpu" else "f32"
     else:
         compute_dtype = args.computeDtype
-    cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype)
+    if args.engine == "auto":
+        engine = "pool" if jax.devices()[0].platform == "cpu" else "mega"
+    else:
+        engine = args.engine
+    cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
+                         engine=engine)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
                       mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
 

@@ -161,6 +161,7 @@ class SceneConsts:
         self.bisect = int(min(cfg.bisect_iters, 30))  # f32 root: 30 suffices
         self.stall_window = int(cfg.stall_window)
         self.stall_min = float(cfg.stall_min_progress)
+        self.species = "photon"  # overridden by integrate_mega
 
 
 def _metric(C, r, sin_th):
@@ -246,9 +247,16 @@ def _condition(C, u, lnt):
     return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / e7**2
 
 
-def _rhs(C, u, lnt, erg):
-    """Photon Hamilton equations via 7 directional jvp passes (du for the
-    7-component state tuple)."""
+def _ham_axion(C, x1, x2, x3, k1, k2, k3, erg):
+    """Axion Hamiltonian H = ksqr/2 (ops/dispersion.py:hamiltonian_axion)."""
+    s_th, _ = _sincos(x2)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, x1, s_th)
+    return 0.5 * (g_tt * erg**2 + g_rr * k1**2 + g_thth * k2**2 + g_pp * k3**2)
+
+
+def _rhs(C, u, lnt, erg, is_ph):
+    """Mixed-species Hamilton equations via 7 directional jvp passes
+    (ops/propagate.py:make_rhs).  is_ph: f32 mask (1 photon / 0 axion)."""
     x1, x2, x3, w1, w2, w3, e7 = u
     t = _exp32(lnt)
     time = t  # time0 = 0
@@ -256,9 +264,19 @@ def _rhs(C, u, lnt, erg):
     r = jnp.maximum(x1, C.r_ns)
     s_th, _ = _sincos(x2)
     _, g_rr, _, _ = _metric(C, r, s_th)
+    photon = is_ph > 0.5
 
-    def h6(a1, a2, a3, b1, b2, b3):
-        return _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
+    if C.species == "photon":
+        def h6(a1, a2, a3, b1, b2, b3):
+            return _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
+    elif C.species == "axion":
+        def h6(a1, a2, a3, b1, b2, b3):
+            return _ham_axion(C, a1, a2, a3, b1, b2, b3, erg)
+    else:
+        def h6(a1, a2, a3, b1, b2, b3):
+            hp = _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
+            ha = _ham_axion(C, a1, a2, a3, b1, b2, b3, erg)
+            return jnp.where(photon, hp, ha)
 
     prim = (x1, x2, x3, k1, k2, k3)
     zeros = jnp.zeros_like(x1)
@@ -270,14 +288,19 @@ def _rhs(C, u, lnt, erg):
         grads.append(dh)
     dh_x = grads[0:3]
     dh_k = grads[3:6]
-    _, dh_t = jax.jvp(lambda tt: _hamiltonian(C, x1, x2, x3, k1, k2, k3, tt, -e7),
-                      (time,), (ones,))
+    if C.species == "axion":
+        dh_t = zeros
+    else:
+        _, dh_t = jax.jvp(
+            lambda tt: _hamiltonian(C, x1, x2, x3, k1, k2, k3, tt, -e7),
+            (time,), (ones,))
 
-    fac = C_KM * t * g_rr / (-e7)
+    denom = jnp.where(photon, -e7, erg)
+    fac = C_KM * t * g_rr / denom
     du_x = tuple(d * fac for d in dh_k)
     du_w = tuple(-d * fac / erg for d in dh_x)
-    du_e7 = dh_t * t * g_rr / (-e7)
-    frozen = x1 <= C.r_ns * 1.01
+    du_e7 = jnp.where(photon, dh_t * t * g_rr / (-e7), 0.0)
+    frozen = (x1 <= C.r_ns * 1.01) & photon
     z = jnp.where
     return tuple(z(frozen, 0.0, d) for d in (du_x + du_w + (du_e7,)))
 
@@ -293,17 +316,20 @@ def _hermite(u0, u1, f0, f1, h, tau):
 
 
 def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
-                 *, C: SceneConsts, max_crossings: int):
+                 save_ref, *, C: SceneConsts, max_crossings: int):
     """One tile of rays, full adaptive integration.
 
     Layouts put the 128-lane axis last and the component index on the middle
     (sublane-packed) axis:
     uin/uout: [T, 8, 128]  (7 state comps + pad)
-    aux:      [T, 8, 128]  (lnt0, lnt1, erg, x0_cart(3), pad2)
+    aux:      [T, 8, 128]  (lnt0, lnt1, erg, x0_cart(3), is_photon, pad)
     lnt:      [T, 2, 128]  (final lnt hi/lo)
     diag:     [T, 8, 128]  (steps, done-code, n_cross, g-at-end, pad)
-    cross:    [T, 8, 128]  (crossing u(7) + lnt_c)
+    cross:    [T, 8*n_slots, 128]  (per slot: crossing u(7) + lnt_c)
+    save:     [T, 8, 128]  (mid-trajectory state: u(7) + pad; the ntimes=3
+              save-grid midpoint, Hermite-interpolated in-kernel)
     """
+    n_slots = max_crossings
     u = tuple(uin_ref[:, i, :] for i in range(7))
     u_lo = tuple(jnp.zeros_like(u[0]) for _ in range(7))
     lnt = aux_ref[:, 0, :]
@@ -311,8 +337,10 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     lnt1 = aux_ref[:, 1, :]
     erg = aux_ref[:, 2, :]
     x0c = tuple(aux_ref[:, 3 + i, :] for i in range(3))
+    is_ph = aux_ref[:, 6, :]
+    lnt_mid = 0.5 * (lnt + lnt1)
 
-    f0 = _rhs(C, u, lnt, erg)
+    f0 = _rhs(C, u, lnt, erg, is_ph)
     g0 = _condition(C, u, lnt)
 
     # initial dt (Hairer-lite, cf. integrator._initial_dt)
@@ -332,8 +360,10 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     done = jnp.where(lnt1 <= lnt, 1.0, 0.0)
     steps = jnp.zeros_like(lnt)
     n_cross = jnp.zeros_like(lnt)
-    cross_u = tuple(jnp.zeros_like(lnt) for _ in range(7))
-    cross_lnt = jnp.zeros_like(lnt)
+    cross_u = tuple(tuple(jnp.zeros_like(lnt) for _ in range(7))
+                    for _ in range(n_slots))
+    cross_lnt = tuple(jnp.zeros_like(lnt) for _ in range(n_slots))
+    save_mid = tuple(jnp.zeros_like(lnt) for _ in range(7))
     code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
     lnt_ck = lnt
 
@@ -344,7 +374,7 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
 
     def body(carry):
         (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-         cross_lnt, code, lnt_ck, it) = carry
+         cross_lnt, save_mid, code, lnt_ck, it) = carry
         done = done_f > 0.5
         active = jnp.logical_not(done)
         h = jnp.clip(lnt1 - lnt, 0.0, None)
@@ -356,12 +386,12 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
                 uu + h * sum(a * kk[j] for a, kk in zip(_A[i], ks))
                 for j, uu in enumerate(u)
             )
-            ks.append(_rhs(C, ui, lnt + _C[i + 1] * h, erg))
+            ks.append(_rhs(C, ui, lnt + _C[i + 1] * h, erg, is_ph))
         u_new = tuple(
             uu + h * sum(b * kk[j] for b, kk in zip(_B5, ks))
             for j, uu in enumerate(u)
         )
-        f_new = _rhs(C, u_new, lnt + h, erg)
+        f_new = _rhs(C, u_new, lnt + h, erg, is_ph)
         ks7 = ks + [f_new]
         err_acc = 0.0
         for j in range(7):
@@ -427,10 +457,24 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         start_dup = within & (n_cross < 0.5)
         record = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) & (n_cross < max_crossings)
 
-        cross_u = tuple(jnp.where(record, us, cu) for us, cu in zip(u_star, cross_u))
-        cross_lnt = jnp.where(record, lnt_star, cross_lnt)
+        new_cross_u = []
+        new_cross_lnt = []
+        for slot in range(n_slots):
+            hit = record & (jnp.abs(n_cross - slot) < 0.5)
+            new_cross_u.append(tuple(
+                jnp.where(hit, us, cu) for us, cu in zip(u_star, cross_u[slot])))
+            new_cross_lnt.append(jnp.where(hit, lnt_star, cross_lnt[slot]))
+        cross_u = tuple(new_cross_u)
+        cross_lnt = tuple(new_cross_lnt)
         n_cross2 = n_cross + jnp.where(record, 1.0, 0.0)
         term_cross = record & (n_cross2 >= max_crossings)
+
+        # ntimes=3 mid-point save (Hermite at the save-grid midpoint)
+        in_step_mid = accept & (lnt < lnt_mid) & (lnt + h >= lnt_mid)
+        tau_mid_s = jnp.where(h > 0, (lnt_mid - lnt) / jnp.where(h > 0, h, 1.0), 0.0)
+        u_mid_s = _hermite(u, u_new, f0, f_new, h, tau_mid_s)
+        save_mid = tuple(jnp.where(in_step_mid, um, sm)
+                         for um, sm in zip(u_mid_s, save_mid))
 
         # commit accepted state (float-float accumulation)
         u2 = []
@@ -454,7 +498,7 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
 
         steps2 = steps + jnp.where(active, 1.0, 0.0)
 
-        ns_hit = accept & (u2[0] < C.r_ns * 1.01) & ~done
+        ns_hit = accept & (is_ph > 0.5) & (u2[0] < C.r_ns * 1.01) & ~done
         reached = accept & (lnt2 >= lnt1 - 1e-6) & ~done
         maxed = (steps2 >= C.max_steps) & ~done
         at_win = (jnp.mod(steps2, C.stall_window) < 0.5) & (steps2 > 0.5)
@@ -469,13 +513,13 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         done2_f = jnp.where(done2, 1.0, 0.0)
 
         return (done2_f, u2, u_lo2, lnt2, lnt_lo2, dt_next, f02, g02, steps2,
-                n_cross2, cross_u, cross_lnt, code2, lnt_ck2, it + 1)
+                n_cross2, cross_u, cross_lnt, save_mid, code2, lnt_ck2, it + 1)
 
     carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-             cross_lnt, code, lnt_ck, jnp.zeros((), jnp.int32))
+             cross_lnt, save_mid, code, lnt_ck, jnp.zeros((), jnp.int32))
     out = lax.while_loop(cond_fn, body, carry)
     (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-     cross_lnt, code, lnt_ck, _) = out
+     cross_lnt, save_mid, code, lnt_ck, _) = out
 
     for i in range(7):
         uout_ref[:, i, :] = u[i] + u_lo[i]
@@ -488,52 +532,157 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     diag_ref[:, 3, :] = g0
     for i in range(4, 8):
         diag_ref[:, i, :] = jnp.zeros_like(steps)
+    for slot in range(n_slots):
+        for i in range(7):
+            cross_ref[:, 8 * slot + i, :] = cross_u[slot][i]
+        cross_ref[:, 8 * slot + 7, :] = cross_lnt[slot]
     for i in range(7):
-        cross_ref[:, i, :] = cross_u[i]
-    cross_ref[:, 7, :] = cross_lnt
+        save_ref[:, i, :] = save_mid[i]
+    save_ref[:, 7, :] = jnp.zeros_like(u[0])
 
 
 def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
-                   *, max_crossings: int = 1, tile_rows: int = 1):
-    """Run the megakernel over a [B, 7] photon state batch (B = rows*128,
-    rows % tile_rows == 0).  Returns (u_final [B,7], lnt_final [B],
-    steps [B], code [B], n_cross [B], cross_u [B,7], cross_lnt [B])."""
+                   *, max_crossings: int = 1, tile_rows: int = 1,
+                   is_photon=None, species: str = "photon"):
+    """Run the megakernel over a [B, 7] state batch (B a multiple of
+    128*tile_rows).  Returns (u_final [B,7], lnt_final [B], steps [B],
+    code [B], n_cross [B], cross_u [B, n_slots, 7], cross_lnt [B, n_slots],
+    save_mid [B, 7]).  species: 'photon' | 'axion' | 'mixed' (static)."""
     B = u0.shape[0]
     L = 128
-    assert B % (L * tile_rows) == 0, B  # tile_rows=1 (128-ray tiles) benches best: tightest lockstep
+    assert B % (L * tile_rows) == 0, B
     R = B // L
     f32 = jnp.float32
+    n_slots = max_crossings
 
     def to_rl(x):
         return x.astype(f32).reshape(R, L)
 
+    if is_photon is None:
+        is_ph = jnp.ones(B)
+    else:
+        is_ph = jnp.where(is_photon, 1.0, 0.0)
     uin = jnp.stack([to_rl(u0[:, i]) for i in range(7)]
                     + [jnp.zeros((R, L), f32)], axis=1)          # [R, 8, L]
     aux = jnp.stack([to_rl(lnt0), to_rl(lnt1), to_rl(erg),
                      to_rl(x0_cart[:, 0]), to_rl(x0_cart[:, 1]),
-                     to_rl(x0_cart[:, 2]), jnp.zeros((R, L), f32),
+                     to_rl(x0_cart[:, 2]), to_rl(is_ph),
                      jnp.zeros((R, L), f32)], axis=1)            # [R, 8, L]
 
     C = SceneConsts(sc, cfg)
+    C.species = species
     kernel = functools.partial(_mega_kernel, C=C, max_crossings=max_crossings)
     grid = (R // tile_rows,)
     bs = lambda d: pl.BlockSpec((tile_rows, d, L), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
-        uout, lntout, diag, cross = pl.pallas_call(
+        uout, lntout, diag, cross, save = pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((R, 8, L), f32),
                 jax.ShapeDtypeStruct((R, 2, L), f32),
                 jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, 8 * n_slots, L), f32),
                 jax.ShapeDtypeStruct((R, 8, L), f32),
             ),
             grid=grid,
             in_specs=[bs(8), bs(8)],
-            out_specs=(bs(8), bs(2), bs(8), bs(8)),
+            out_specs=(bs(8), bs(2), bs(8), bs(8 * n_slots), bs(8)),
         )(uin, aux)
     uf = jnp.stack([uout[:, i, :].reshape(B) for i in range(7)], axis=1)
     lntf = (lntout[:, 0, :] + lntout[:, 1, :]).reshape(B)
     dg = lambda i: diag[:, i, :].reshape(B)
-    cr = jnp.stack([cross[:, i, :].reshape(B) for i in range(7)], axis=1)
-    return (uf, lntf, dg(0), dg(1), dg(2), cr, cross[:, 7, :].reshape(B))
+    cru = jnp.stack([
+        jnp.stack([cross[:, 8 * slot + i, :].reshape(B) for i in range(7)], axis=1)
+        for slot in range(n_slots)
+    ], axis=1)                                                    # [B, n_slots, 7]
+    crlnt = jnp.stack([cross[:, 8 * slot + 7, :].reshape(B)
+                       for slot in range(n_slots)], axis=1)       # [B, n_slots]
+    save_mid = jnp.stack([save[:, i, :].reshape(B) for i in range(7)], axis=1)
+    return (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid)
+
+
+def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
+                   delta_w, lnt0, lnt1, is_photon, max_crossings: int = 1,
+                   species: str = "mixed", tile_rows: int = 1):
+    """PropagateResult-compatible wrapper around the megakernel
+    (drop-in for ops/propagate.propagate on TPU; f32 throughout with
+    float-float state inside the kernel).
+
+    Pads the batch to a multiple of 128 internally.  The ntimes=3 trajectory
+    contract maps to (launch point, in-kernel Hermite midpoint, endpoint)."""
+    from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+    from adiabatic_raytracer_tpu.ops.geometry import (
+        cart_to_sph, celerity_from_cart, celerity_to_cart_vel, sph_to_cart)
+    from adiabatic_raytracer_tpu.ops.propagate import PropagateResult, lapse_interior
+
+    B = x0_cart.shape[0]
+    Bp = ((B + 127) // 128) * 128
+    mass_eff = sc.mass_ns_eff
+
+    k0n = k_norm_cart(x0_cart, k0_cart, 0.0, erg, sc, sc.mass_ns,
+                      is_photon=True, ax_fix=True)
+    x_sph0 = cart_to_sph(x0_cart)
+    w0 = celerity_from_cart(x0_cart, k0n, mass_eff) / erg[:, None]
+    u0 = jnp.concatenate([x_sph0, w0, (erg * delta_w)[:, None]], axis=1)
+
+    def pad(a, fill=0.0):
+        if Bp == B:
+            return a
+        padding = [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, padding, constant_values=fill)
+
+    lnt0p = pad(lnt0)
+    out = integrate_mega(
+        pad(u0, 1.0), lnt0p, pad(lnt1, -1e30), pad(erg, 1.0), pad(x0_cart, 1e30),
+        sc, cfg, max_crossings=max_crossings, tile_rows=tile_rows,
+        is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5, species=species)
+    uf, lntf, steps, code, n_cross, cru, crlnt, save_mid = [o[:B] if o.ndim == 1
+                                                            else o[:B] for o in out]
+
+    dtype = x0_cart.dtype
+    uf = uf.astype(dtype)
+    save_mid = save_mid.astype(dtype)
+
+    def state_to_cart(uu):
+        x_sph = uu[:, 0:3]
+        w = uu[:, 3:6] * erg[:, None]
+        a = lapse_interior(x_sph[:, 0], mass_eff, sc.r_ns)
+        return sph_to_cart(x_sph), celerity_to_cart_vel(x_sph, w, mass_eff, a=a)
+
+    # ntimes = 3 trajectory: launch, midpoint, endpoint
+    x_end, v_end = state_to_cart(uf)
+    # a zero midpoint means the ray never spanned it (terminated early) —
+    # fall back to the endpoint, matching the pool's past-end fill
+    mid_valid = jnp.abs(save_mid[:, 0]) > 0
+    save_mid = jnp.where(mid_valid[:, None], save_mid, uf)
+    x_mid, v_mid = state_to_cart(save_mid)
+    v_start = celerity_to_cart_vel(
+        x_sph0, w0 * erg[:, None], mass_eff,
+        a=lapse_interior(x_sph0[..., 0], mass_eff, sc.r_ns))
+    traj = jnp.stack([x0_cart, x_mid, x_end], axis=1)
+    mom = jnp.stack([v_start, v_mid, v_end], axis=1)
+    erg_out = jnp.stack([erg * delta_w, save_mid[:, 6], uf[:, 6]], axis=1)
+
+    cru = cru.astype(dtype)
+    cross_sph = cru[..., 0:3]
+    xc = sph_to_cart(cross_sph)
+    kc = celerity_to_cart_vel(cross_sph, cru[..., 3:6] * erg[:, None, None],
+                              mass_eff)
+    tc = jnp.exp(crlnt.astype(dtype))
+    dwc = cru[..., 6] / erg[:, None]
+
+    frac = jnp.linspace(0.0, 1.0, 3)
+    save_lnt = lnt0[:, None] + (lnt1 - lnt0)[:, None] * frac[None, :]
+    return PropagateResult(
+        traj=traj, mom=mom, erg=erg_out,
+        fail=jnp.where(uf[:, 0] <= sc.r_ns * 1.01, 0.0, 1.0),
+        cut_short=code == 3.0,
+        xc=xc, kc=kc, tc=tc, dwc=dwc,
+        n_cross=n_cross.astype(jnp.int32),
+        times=save_lnt,
+        final_lnt=lntf.astype(dtype),
+        ns_hit=code == 2.0,
+        maxed=(code == 4.0) | (code == 5.0),
+        steps=steps.astype(jnp.int32),
+    )

@@ -85,16 +85,30 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
     prob0, p_nonad0 = _prob_batch(xpos, k_back, erg_inf, sc_b, cfg.compute_dtype)
 
-    res = propagate(
-        xpos, k_back, sc_b, cfg,
-        erg=erg_inf,
-        delta_w=-jnp.ones(E, xpos.dtype),
-        lnt0=jnp.full(E, cfg.ln_t_start, xpos.dtype),
-        lnt1=jnp.broadcast_to(jnp.asarray(lnt_end, xpos.dtype), (E,)),
-        is_photon=jnp.zeros(E, bool),
-        max_crossings=jnp.full(E, cfg.max_crossings, jnp.int32),
-        species="axion",
-    )
+    if cfg.engine == "mega":
+        from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
+
+        res = propagate_mega(
+            xpos, k_back, sc_b, cfg,
+            erg=erg_inf,
+            delta_w=-jnp.ones(E, xpos.dtype),
+            lnt0=jnp.full(E, cfg.ln_t_start, xpos.dtype),
+            lnt1=jnp.broadcast_to(jnp.asarray(lnt_end, xpos.dtype), (E,)),
+            is_photon=jnp.zeros(E, bool),
+            max_crossings=cfg.max_crossings,
+            species="axion",
+        )
+    else:
+        res = propagate(
+            xpos, k_back, sc_b, cfg,
+            erg=erg_inf,
+            delta_w=-jnp.ones(E, xpos.dtype),
+            lnt0=jnp.full(E, cfg.ln_t_start, xpos.dtype),
+            lnt1=jnp.broadcast_to(jnp.asarray(lnt_end, xpos.dtype), (E,)),
+            is_photon=jnp.zeros(E, bool),
+            max_crossings=jnp.full(E, cfg.max_crossings, jnp.int32),
+            species="axion",
+        )
 
     MAXC = cfg.max_crossings
     in_count = jnp.arange(MAXC)[None, :] < res.n_cross[:, None]
@@ -277,16 +291,30 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         count_now = c.count + 1  # the reference's `count` during this iteration
 
         lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(dt0_ln)))
-        res = propagate(
-            pos0, k0, sc, cfg,
-            erg=erg_inf,
-            delta_w=dw_node,
-            lnt0=lnt0,
-            lnt1=lnt1,
-            is_photon=is_ph,
-            max_crossings=jnp.ones(E, jnp.int32),
-            species="mixed",
-        )
+        if cfg.engine == "mega":
+            from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
+
+            res = propagate_mega(
+                pos0, k0, sc, cfg,
+                erg=erg_inf,
+                delta_w=dw_node,
+                lnt0=lnt0,
+                lnt1=lnt1,
+                is_photon=is_ph,
+                max_crossings=1,
+                species="mixed",
+            )
+        else:
+            res = propagate(
+                pos0, k0, sc, cfg,
+                erg=erg_inf,
+                delta_w=dw_node,
+                lnt0=lnt0,
+                lnt1=lnt1,
+                is_photon=is_ph,
+                max_crossings=jnp.ones(E, jnp.int32),
+                species="mixed",
+            )
 
         has_cross = res.n_cross >= 1
         xc = res.xc[:, 0, :]

@@ -88,7 +88,7 @@ def main():
 
         def step(eps):
             # perturb the launch state so every rep is fresh work
-            uf, lntf, steps, code, ncross, cru, crlnt = fmega(
+            uf, lntf, steps, code, ncross, cru, crlnt, save_mid = fmega(
                 u0.at[:, 0].add(eps), x)
             return uf, steps, ncross
 

@@ -44,7 +44,7 @@ def test_megakernel_matches_pool():
     u0 = jnp.concatenate([cart_to_sph(jnp.asarray(x)), w0,
                           (-jnp.asarray(erg))[:, None]], axis=1)
     with pltpu.force_tpu_interpret_mode():
-        uf, lntf, steps, code, ncross, cru, crlnt = mk.integrate_mega(
+        uf, lntf, steps, code, ncross, cru, crlnt, save_mid = mk.integrate_mega(
             u0, jnp.full(B, cfg.ln_t_start), jnp.full(B, float(np.log(t_end))),
             jnp.asarray(erg), jnp.asarray(x), sc, cfg, tile_rows=1)
 
@@ -66,5 +66,49 @@ def test_megakernel_matches_pool():
     # crossing positions agree where both found one
     both = (np.asarray(ref.n_cross) >= 1)
     rc_ref = np.linalg.norm(np.asarray(ref.xc[:, 0, :]), axis=1)
-    rel_c = np.abs(np.asarray(cru[:, 0]) - rc_ref) / np.maximum(rc_ref, 1.0)
+    rel_c = np.abs(np.asarray(cru[:, 0, 0]) - rc_ref) / np.maximum(rc_ref, 1.0)
     assert np.median(rel_c[both]) < 1e-4
+
+
+def test_propagate_mega_backtrace_matches_pool():
+    """Axion backtrace mode: multi-crossing collection via propagate_mega
+    (interpreter) vs the pool propagate."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import propagate
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=-1e14,
+               r_ns=10.0, mass_ns=1.0)  # backtrace: B flipped
+    cfg = NumericsConfig(interp_points=8, compute_dtype="f32", max_steps=3000,
+                         max_crossings=8)
+    B = 32
+    rng = np.random.default_rng(4)
+    r = rng.uniform(14.0, 22.0, B)
+    th = np.arccos(rng.uniform(-0.9, 0.9, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = -rng.normal(size=(B, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+    args = dict(erg=jnp.asarray(erg), delta_w=-jnp.ones(B),
+                lnt0=jnp.full(B, cfg.ln_t_start),
+                lnt1=jnp.full(B, float(np.log(1e-2))),
+                is_photon=jnp.zeros(B, bool))
+    ref = propagate(jnp.asarray(x), jnp.asarray(v), sc, cfg, species="axion",
+                    max_crossings=jnp.full(B, 8, jnp.int32), **args)
+    with pltpu.force_tpu_interpret_mode():
+        got = mk.propagate_mega(jnp.asarray(x), jnp.asarray(v), sc, cfg,
+                                max_crossings=8, species="axion", **args)
+    np.testing.assert_array_equal(np.asarray(ref.n_cross), np.asarray(got.n_cross))
+    # crossing radii agree slot by slot where present
+    nc = np.asarray(ref.n_cross)
+    for b in range(B):
+        for s in range(int(nc[b])):
+            rr = np.linalg.norm(np.asarray(ref.xc[b, s]))
+            rg = np.linalg.norm(np.asarray(got.xc[b, s]))
+            assert abs(rg - rr) / rr < 1e-3, (b, s, rr, rg)
+    # axions are never NS-killed
+    assert not np.any(np.asarray(got.ns_hit))
