@@ -69,7 +69,7 @@ def main():
     # in one TPU kernel, tile-level lockstep; ops/megakernel.py) — default on
     # TPU; "pool" = the XLA pool with chunked straggler compaction.
     engine = os.environ.get(
-        "BENCH_ENGINE", "mega" if platform != "cpu" and B % 1024 == 0 else "pool")
+        "BENCH_ENGINE", "mega" if platform != "cpu" and B % 128 == 0 else "pool")
 
     if engine == "mega":
         from adiabatic_raytracer_tpu.ops import megakernel as mk
