@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tree propagation engine; auto = megakernel on TPU")
     p.add_argument("--platform", type=str, default=None,
                    help="override JAX platform (cpu/tpu/axon)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the event pipeline over an N-device mesh "
+                        "(0/1 = single device); the on-device equivalent of "
+                        "the reference's N-process fan-out")
     return p
 
 
@@ -103,7 +107,7 @@ def main(argv=None) -> int:
             os.makedirs(os.path.join(args.dir_tag, sub), exist_ok=True)
         run(sc, cfg, tcfg, args.Nts, seed=args.seed, save_mode=args.saveMode,
             file_tag=args.ftag, dir_tag=args.dir_tag,
-            event_batch=args.event_batch)
+            event_batch=args.event_batch, mesh_devices=args.mesh)
 
     if args.run_Combine == 1:
         out = combine_files(args.dir_tag, args.MassA, args.Axg, args.ThetaM,

@@ -13,6 +13,7 @@ output is divided by it at the end.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -46,6 +47,13 @@ class RunStats:
     info_hist: dict = field(default_factory=dict)
     dw_warnings: int = 0
     wall_time: float = 0.0
+    # stage wall-times (s): sampling, device pipeline, device->host fetch,
+    # host row assembly, clear-text writers
+    t_sample: float = 0.0
+    t_pipeline: float = 0.0
+    t_fetch: float = 0.0
+    t_rows: float = 0.0
+    t_text: float = 0.0
 
 
 def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
@@ -90,12 +98,83 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
             cos_w.astype(out_dtype), jac_v.astype(out_dtype))
 
 
+@functools.lru_cache(maxsize=8)
+def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max):
+    """Jitted conversion-surface sampler, cached across run() calls so a
+    warmup run compiles for the production run (configs are frozen
+    dataclasses, hence hashable).
+
+    The output is packed into ONE [B, 11] array (success, xpos, v_loc,
+    erg_inf, v_ifty): on a tunneled TPU every device->host fetch costs a
+    network round trip (~tens of ms), so per-field fetches dominate the
+    host loop."""
+
+    def packed(k, b):
+        res = sampler.sample_batch(k, b, maxR, sc, sc.mass_ns,
+                                   n_grid=n_grid, n_max=n_max,
+                                   compute_dtype=cfg.compute_dtype)
+        d = res.xpos.dtype
+        return jnp.concatenate([
+            res.success.astype(d)[:, None], res.xpos, res.v_loc,
+            res.erg_inf.astype(d)[:, None], res.v_ifty.astype(d)], axis=1)
+
+    return jax.jit(packed, static_argnums=1)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
+                    lnt_end, mesh_devices: int):
+    """Jitted per-batch event pipeline (kinematics -> backtrace -> forward
+    tree), optionally sharded over an event-axis device mesh; cached across
+    run() calls."""
+
+    def pipeline(keys, xpos, v_loc, erg_inf):
+        k_init, sln_prob, cos_w, jac_v = _event_kinematics(
+            xpos, v_loc, erg_inf, maxR, sc, tcfg, cfg.compute_dtype)
+        bt = tree.backtrace(xpos, k_init, erg_inf, sc, cfg, tcfg, lnt_end=lnt_end)
+        tr = tree.forward_tree(keys, xpos, k_init, erg_inf, sc, cfg, tcfg,
+                               lnt_end=lnt_end)
+        # pack everything the saveMode<=1 row assembly needs into two arrays
+        # so the host does TWO device fetches per batch, not ~45 (each fetch
+        # is a network round trip on a tunneled TPU)
+        d = xpos.dtype
+        pl = tr.pools
+        one = lambda a: a.astype(d)[..., None]
+        pool_pack = jnp.concatenate([
+            one(pl.status), one(pl.is_final), one(pl.order), one(pl.ferg),
+            one(pl.weight), one(pl.prob), one(pl.prob_conv),
+            one(pl.prob_conv0), one(pl.is_photon), one(pl.t),
+            pl.fpos, pl.fmom], axis=-1)                       # [E, P, 16]
+        ev_pack = jnp.concatenate([
+            sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
+            one(tr.dw_anomalies), bt.samp_back_weight[:, None],
+            bt.prob0[:, None], one(bt.c_bck), k_init], axis=1)  # [E, 11]
+        return pool_pack, ev_pack, bt, tr
+
+    if mesh_devices > 1:
+        from adiabatic_raytracer_tpu.parallel.mesh import make_mesh, shard_over_events
+
+        mesh = make_mesh(mesh_devices)
+        return jax.jit(shard_over_events(mesh, pipeline))
+    return jax.jit(pipeline)
+
+
+_keys_for = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(None, 0)))
+
+
 def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         seed: int = -1, save_mode: int = 0, file_tag: str = "",
         dir_tag: str = "results", event_batch: int = 16,
         fix_time: float = 0.0, ntimes: int = 3,
-        verbose: bool = True) -> Optional[tuple]:
+        verbose: bool = True, mesh_devices: int = 0) -> Optional[tuple]:
     """Run the full pipeline; returns (saveAll rows ndarray, output path, stats).
+
+    mesh_devices > 1 shards the jitted pipeline (kinematics -> backtrace ->
+    forward tree) over the event axis of an n-device mesh — the on-device
+    equivalent of the reference's N-process fan-out (runner_example.sh:4-9).
+    Per-event RNG keys are derived from the *global* event number, so a
+    sharded run produces the same rows as a single-device run at the same
+    seed and batching.
 
     Returns None when the conversion surface lies inside the star
     (MainRunner.jl:389-396)."""
@@ -121,45 +200,39 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     n_grid = sampler.default_n_grid(maxR)
     n_max = tcfg.n_max_sample
 
-    sample_jit = jax.jit(
-        lambda k, b: sampler.sample_batch(k, b, maxR, sc, sc.mass_ns,
-                                          n_grid=n_grid, n_max=n_max,
-                                          compute_dtype=cfg.compute_dtype),
-        static_argnums=1,
-    )
-    kin_jit = jax.jit(lambda x, v, e: _event_kinematics(x, v, e, maxR, sc, tcfg,
-                                                        cfg.compute_dtype))
-    bt_jit = jax.jit(lambda x, k, e: tree.backtrace(x, k, e, sc, cfg, tcfg,
-                                                    lnt_end=lnt_end))
-    fwd_jit = jax.jit(lambda kk, x, k, e: tree.forward_tree(kk, x, k, e, sc, cfg,
-                                                            tcfg, lnt_end=lnt_end))
+    sample_jit = _build_sampler(sc, cfg, maxR, n_grid, n_max)
+    pipeline_jit = _build_pipeline(sc, cfg, tcfg, maxR, lnt_end,
+                                   int(mesh_devices or 0))
+    pad_to = mesh_devices if mesh_devices and mesh_devices > 1 else 1
+    base_key = jax.random.PRNGKey(stats.seed)
 
     ev_files = EventFiles(dir_tag, file_tag) if save_mode > 1 else None
 
     rows: list = []
     event_no = 1
     remaining = n_trajs - 1  # the reference loop runs while photon_trajs < Ntajs
-    key_i = 0
+
+    succ_rate = 0.25  # adaptive sampler-success estimate
 
     while remaining > 0:
         batch = min(event_batch, remaining)
         # --- sampling with attempt accounting ---
-        xs, vs, es, vifs, flags = [], [], [], [], []
+        # oversample so one jitted call usually covers the batch; batch sizes
+        # are power-of-2 quantized to bound sampler recompiles
+        t_s0 = time.time()
+        xs, flags = [], []
         got = 0
         while got < batch:
             key, sub = jax.random.split(key)
-            sb = max(2 * (batch - got), 8)
-            res = sample_jit(sub, sb)
-            succ = np.asarray(res.success)
+            need = batch - got
+            sb = 1 << max(int(need / max(succ_rate, 0.02) * 1.3) - 1, 7).bit_length()
+            pk = np.asarray(sample_jit(sub, sb))        # ONE fetch per call
+            succ = pk[:, 0] > 0.5
+            succ_rate = max(0.5 * succ_rate + 0.5 * float(succ.mean()), 0.02)
             flags.append(succ)
-            idx = np.nonzero(succ)[0]
-            for i in idx:
-                if got < batch:
-                    xs.append(np.asarray(res.xpos[i]))
-                    vs.append(np.asarray(res.v_loc[i]))
-                    es.append(float(res.erg_inf[i]))
-                    vifs.append(np.asarray(res.v_ifty[i]))
-                    got += 1
+            idx = np.nonzero(succ)[0][: batch - got]
+            xs.append(pk[idx, 1:])
+            got += len(idx)
         flag_stream = np.concatenate(flags)
         kept_pos = np.nonzero(flag_stream)[0][:batch]
         attempts = int(kept_pos[-1]) + 1
@@ -167,118 +240,159 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         stats.f_inx += attempts - batch  # failures (MainRunner.jl:469,477)
 
         # integration state stays f64 even when the sampler computed in f32
-        xpos = jnp.asarray(np.stack(xs).astype(np.float64))
-        v_loc = jnp.asarray(np.stack(vs).astype(np.float64))
-        erg_inf = jnp.asarray(np.array(es, np.float64))
-        v_ifty = np.stack(vifs).astype(np.float64)
+        samp = np.concatenate(xs, axis=0).astype(np.float64)
+        xpos, v_loc, erg_inf, v_ifty = (samp[:, 0:3], samp[:, 3:6],
+                                        samp[:, 6], samp[:, 7:10])
+        stats.t_sample += time.time() - t_s0
+
+        # pad the batch up to a mesh-divisible size (outputs discarded);
+        # RNG keys come from the *global* event number -> mesh-invariant
+        bp = ((batch + pad_to - 1) // pad_to) * pad_to
+        gidx = np.arange(bp, dtype=np.int64) + event_no
+
+        def pad(a):
+            if bp == batch:
+                return a
+            reps = [a[-1:]] * (bp - batch)
+            return np.concatenate([a] + reps, axis=0)
 
         t_batch0 = time.time()
-        k_init, sln_prob, cos_w, jac_v = kin_jit(xpos, v_loc, erg_inf)
-        bt = bt_jit(xpos, k_init, erg_inf)
-        key, sub = jax.random.split(key)
-        tr = fwd_jit(sub, xpos, k_init, erg_inf)
+        keys = _keys_for(base_key, jnp.asarray(gidx))
+        pool_pack, ev_pack, bt, tr = pipeline_jit(
+            keys, jnp.asarray(pad(xpos)), jnp.asarray(pad(v_loc)),
+            jnp.asarray(pad(erg_inf)))
+        jax.block_until_ready(pool_pack)
+        t_f0 = time.time()
+        stats.t_pipeline += t_f0 - t_batch0
+        pp = np.asarray(pool_pack)[:batch]              # [E, P, 16], one fetch
+        evp = np.asarray(ev_pack)[:batch]               # [E, 11], one fetch
+        stats.t_fetch += time.time() - t_f0
         t_batch = time.time() - t_batch0
 
-        # --- host-side row assembly (MainRunner.jl:670-729) ---
-        pools = jax.tree_util.tree_map(np.asarray, tr.pools)
-        bt_np = jax.tree_util.tree_map(np.asarray, bt)
-        k_init_np = np.asarray(k_init)
-        sln_np = np.asarray(sln_prob)
-        cosw_np = np.asarray(cos_w)
-        xpos_np = np.asarray(xpos)
-        count_np = np.asarray(tr.count)
-        info_np = np.asarray(tr.info)
+        t_r0 = time.time()
+        (p_status, p_final, p_order, p_ferg, p_weight, p_prob, p_prob_conv,
+         p_prob_conv0, p_is_ph, p_t) = (pp[..., i] for i in range(10))
+        p_fpos = pp[..., 10:13]
+        p_fmom = pp[..., 13:16]
+        sln_np = evp[:, 0]
+        cosw_np = evp[:, 1]
+        count_np = evp[:, 2].astype(np.int64)
+        info_np = evp[:, 3].astype(np.int64)
+        dw_anom_np = evp[:, 4].astype(np.int64)
+        sbw_ev = evp[:, 5]
+        bt_prob0 = evp[:, 6]
+        bt_c_bck = evp[:, 7].astype(np.int64)
+        k_init_np = evp[:, 8:11]
+
+        # --- vectorized row assembly (MainRunner.jl:670-729) ---
+        xpos_np = xpos
         vel_eng = np.sum(v_ifty**2, axis=1) / 2.0
+        stats.tot_nodes += int(count_np.sum())
+        stats.dw_warnings += int(dw_anom_np.sum())
+        for iv, cnt in zip(*np.unique(info_np, return_counts=True)):
+            stats.info_hist[int(iv)] = stats.info_hist.get(int(iv), 0) + int(cnt)
 
-        for e in range(batch):
-            tree_f = TreeFile(dir_tag, file_tag, event_no) if save_mode > 2 else None
-            if ev_files is not None:
+        fin = (p_status == 2.0) & (p_final > 0.5)                      # [E, P]
+        e_ids, p_ids = np.nonzero(fin)
+        o = np.lexsort((p_order[e_ids, p_ids], e_ids))  # per-event proc order
+        e_ids, p_ids = e_ids[o], p_ids[o]
+        nfin = len(e_ids)
+        fmom = p_fmom[e_ids, p_ids]
+        fpos = p_fpos[e_ids, p_ids]
+        absf = np.linalg.norm(fmom, axis=1)
+        absfx = np.linalg.norm(fpos, axis=1)
+        phi_f = np.arctan2(fmom[:, 1], fmom[:, 0])
+        phi_fx = np.arctan2(fpos[:, 1], fpos[:, 0])
+        theta_f = np.arccos(fmom[:, 2] / absf)
+        theta_fx = np.arccos(fpos[:, 2] / absfx)
+        species_id = p_is_ph[e_ids, p_ids]
+        sbw = sbw_ev[e_ids]
+        weight = p_weight[e_ids, p_ids] * sbw            # MainRunner.jl:686
+        optical_depth = np.zeros(nfin)
+        weight_c = np.ones(nfin)
+        weight_tmp = weight * (weight_c**2 * np.exp(-optical_depth))
+        dw_out = p_ferg[e_ids, p_ids] / float(sc.mass_a) + vel_eng[e_ids]
+        ev_col = (event_no + e_ids).astype(np.float64)
+        base = np.stack([
+            ev_col, species_id, theta_f, phi_f, theta_fx, phi_fx, absfx,
+            sln_np[e_ids], weight_tmp, xpos_np[e_ids, 0], xpos_np[e_ids, 1],
+            xpos_np[e_ids, 2], dw_out], axis=1)
+        if save_mode > 0:
+            extra = np.stack([
+                weight, optical_depth, weight_c,
+                k_init_np[e_ids, 0], k_init_np[e_ids, 1], k_init_np[e_ids, 2],
+                cosw_np[e_ids], count_np[e_ids].astype(np.float64),
+                info_np[e_ids].astype(np.float64),
+                p_prob[e_ids, p_ids], p_prob_conv[e_ids, p_ids],
+                p_prob_conv0[e_ids, p_ids], sbw, absfx,
+                bt_c_bck[e_ids].astype(np.float64), bt_prob0[e_ids]],
+                axis=1)
+            base = np.concatenate([base, extra], axis=1)
+        if nfin:
+            rows.append(base)
+        stats.f_inx += int((species_id == 1).sum())  # MainRunner.jl:711-713
+        stats.finals += nfin
+        stats.t_rows += time.time() - t_r0
+
+        # --- clear-text writers (saveMode >= 2; cold path: fetches the full
+        # pools/backtrace pytrees) ---
+        if save_mode > 1:
+            t_t0 = time.time()
+            sl = lambda t: jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:batch], t)
+            pools = sl(tr.pools)
+            bt_np = sl(bt)
+            fstart = np.searchsorted(e_ids, np.arange(batch))
+            fend = np.searchsorted(e_ids, np.arange(batch), side="right")
+            for e in range(batch):
+                en = event_no + e
+                # incoming-axion state = backtrace trajectory endpoint
+                # (nb.x[end], nb.kx[end], MainRunner.jl:600-607)
                 ev_files.write_event_head(
-                    event_no, v_ifty[e], float(sln_np[e]),
-                    xpos_np[e], -k_init_np[e], xpos_np[e], k_init_np[e])
-            if tree_f is not None:
-                nraw = int(bt_np.raw_n_cross[e])
-                tree_f.save_node(
-                    "axion", float(bt_np.weight[e]), float(bt_np.prob0[e]), 1.0,
-                    xc=bt_np.xc[e, :nraw, 0] if nraw else None,
-                    yc=bt_np.xc[e, :nraw, 1] if nraw else None,
-                    zc=bt_np.xc[e, :nraw, 2] if nraw else None,
-                    tc=bt_np.raw_tc[e, :nraw] if nraw else None,
-                    traj=bt_np.traj[e], times=bt_np.times[e],
-                )
-
-            sbw = float(bt_np.samp_back_weight[e])
-            stats.tot_nodes += int(count_np[e])
-            stats.info_hist[int(info_np[e])] = stats.info_hist.get(int(info_np[e]), 0) + 1
-
-            order = pools.order[e]
-            proc = np.nonzero(pools.status[e] == 2)[0]
-            proc = proc[np.argsort(order[proc], kind="stable")]
-            for p in proc:
-                if tree_f is not None:
-                    hasx = bool(pools.has_cross[e, p])
+                    en, v_ifty[e], float(sln_np[e]),
+                    bt_np.x_end[e], bt_np.k_end[e], xpos_np[e], k_init_np[e])
+                if save_mode > 2:
+                    tree_f = TreeFile(dir_tag, file_tag, en)
+                    nraw = int(bt_np.raw_n_cross[e])
                     tree_f.save_node(
-                        "photon" if pools.is_photon[e, p] else "axion",
-                        float(pools.weight[e, p]), float(pools.prob[e, p]),
-                        float(pools.parent_weight[e, p]),
-                        xc=[pools.xc[e, p, 0]] if hasx else None,
-                        yc=[pools.xc[e, p, 1]] if hasx else None,
-                        zc=[pools.xc[e, p, 2]] if hasx else None,
-                        tc=[pools.tcx[e, p]] if hasx else None,
-                        traj=pools.traj[e, p], times=pools.times[e, p],
+                        "axion", float(bt_np.weight[e]), float(bt_np.prob0[e]), 1.0,
+                        xc=bt_np.xc[e, :nraw, 0] if nraw else None,
+                        yc=bt_np.xc[e, :nraw, 1] if nraw else None,
+                        zc=bt_np.xc[e, :nraw, 2] if nraw else None,
+                        tc=bt_np.raw_tc[e, :nraw] if nraw else None,
+                        traj=bt_np.traj[e], times=bt_np.times[e],
                     )
-                if not pools.is_final[e, p]:
-                    continue
-                fmom = pools.fmom[e, p]
-                fpos = pools.fpos[e, p]
-                absf = float(np.linalg.norm(fmom))
-                absfx = float(np.linalg.norm(fpos))
-                phi_f = float(np.arctan2(fmom[1], fmom[0]))
-                phi_fx = float(np.arctan2(fpos[1], fpos[0]))
-                theta_f = float(np.arccos(fmom[2] / absf))
-                theta_fx = float(np.arccos(fpos[2] / absfx))
-                species_id = 1 if pools.is_photon[e, p] else 0
-                weight = float(pools.weight[e, p]) * sbw  # MainRunner.jl:686
-                optical_depth = 0.0
-                weight_c = 1.0
-                weight_tmp = weight * (weight_c**2 * np.exp(-optical_depth))
-                dw_out = float(pools.ferg[e, p]) / float(sc.mass_a) + vel_eng[e]
-                dwv = float(pools.dw[e, p])
-                if dwv > -0.5 or dwv < -2.0:
-                    stats.dw_warnings += 1
-                if species_id == 1:
-                    stats.f_inx += 1  # MainRunner.jl:711-713
-                stats.finals += 1
-                if ev_files is not None:
-                    ev_files.write_final(event_no, weight, species_id, theta_f,
-                                         phi_f, absf, theta_fx, phi_fx, absfx,
-                                         float(pools.t[e, p]))
-                base = [event_no, species_id, theta_f, phi_f, theta_fx, phi_fx,
-                        absfx, float(sln_np[e]), weight_tmp,
-                        float(xpos_np[e, 0]), float(xpos_np[e, 1]),
-                        float(xpos_np[e, 2]), dw_out]
-                if save_mode > 0:
-                    base += [weight, optical_depth, weight_c,
-                             float(k_init_np[e, 0]), float(k_init_np[e, 1]),
-                             float(k_init_np[e, 2]), float(cosw_np[e]),
-                             int(count_np[e]), int(info_np[e]),
-                             float(pools.prob[e, p]),
-                             float(pools.prob_conv[e, p]),
-                             float(pools.prob_conv0[e, p]),
-                             sbw, absfx, int(bt_np.c_bck[e]),
-                             float(bt_np.prob0[e])]
-                rows.append(base)
-
-            if ev_files is not None:
+                    order = pools.order[e]
+                    proc = np.nonzero(pools.status[e] == 2)[0]
+                    proc = proc[np.argsort(order[proc], kind="stable")]
+                    for p in proc:
+                        hasx = bool(pools.has_cross[e, p])
+                        tree_f.save_node(
+                            "photon" if pools.is_photon[e, p] else "axion",
+                            float(pools.weight[e, p]), float(pools.prob[e, p]),
+                            float(pools.parent_weight[e, p]),
+                            xc=[pools.xc[e, p, 0]] if hasx else None,
+                            yc=[pools.xc[e, p, 1]] if hasx else None,
+                            zc=[pools.xc[e, p, 2]] if hasx else None,
+                            tc=[pools.tcx[e, p]] if hasx else None,
+                            traj=pools.traj[e, p], times=pools.times[e, p],
+                        )
+                    tree_f.close()
+                for j in range(fstart[e], fend[e]):
+                    ev_files.write_final(
+                        en, float(weight[j]), int(species_id[j]),
+                        float(theta_f[j]), float(phi_f[j]), float(absf[j]),
+                        float(theta_fx[j]), float(phi_fx[j]), float(absfx[j]),
+                        float(p_t[e_ids[j], p_ids[j]]))
                 ev_files.write_event_tail(t_batch / batch, int(count_np[e]))
-            if tree_f is not None:
-                tree_f.close()
-            event_no += 1
-            stats.events += 1
-        remaining -= batch
-        key_i += 1
+            stats.t_text += time.time() - t_t0
 
-    save_all = np.asarray(rows, np.float64)
+        event_no += batch
+        stats.events += batch
+        remaining -= batch
+
+    save_all = (np.concatenate(rows, axis=0).astype(np.float64) if rows
+                else np.zeros((0,)))  # empty-run shape matches np.asarray([])
     if save_all.size:
         save_all[:, 7] /= float(stats.f_inx) if stats.f_inx else 1.0
     out_path = tree_filename(dir_tag, sc.mass_a, sc.ax_g, sc.theta_m, sc.omega_pul,
@@ -289,5 +403,8 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     if verbose:
         print(f"events={stats.events} finals={stats.finals} f_inx={stats.f_inx} "
               f"nodes={stats.tot_nodes} info={stats.info_hist} "
-              f"wall={stats.wall_time:.1f}s -> {out_path}")
+              f"wall={stats.wall_time:.1f}s "
+              f"(sample {stats.t_sample:.1f} pipe {stats.t_pipeline:.1f} "
+              f"fetch {stats.t_fetch:.1f} rows {stats.t_rows:.1f} "
+              f"text {stats.t_text:.1f}) -> {out_path}")
     return save_all, out_path, stats

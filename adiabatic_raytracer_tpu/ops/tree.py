@@ -70,6 +70,9 @@ class BacktraceResult(NamedTuple):
     c_bck: Any            # [E] node count of the backtrace tree (always 1)
     traj: Any             # [E, NS, 3] backtrace trajectory (saveMode 3)
     times: Any            # [E, NS]
+    x_end: Any            # [E, 3] backtrace trajectory endpoint (nb.x[end],
+    k_end: Any            # [E, 3] nb.kx[end]; the event file's "incoming
+                          # axion" state, MainRunner.jl:600-607)
     raw_n_cross: Any      # [E] crossings before dedup/fallback (tree dumps)
     raw_tc: Any           # [E, MAXC] raw crossing times (tree dumps)
 
@@ -161,6 +164,8 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         c_bck=jnp.ones(E, jnp.int32),
         traj=res.traj,
         times=res.times,
+        x_end=res.traj[:, -1, :],
+        k_end=res.mom[:, -1, :],
         raw_n_cross=res.n_cross,
         raw_tc=res.tc,
     )
@@ -203,6 +208,8 @@ class TreeResult(NamedTuple):
     info: Any         # [E] stop code
     tot_prob: Any     # [E]
     n_alloc: Any      # [E]
+    dw_anomalies: Any  # [E] nodes popped with Delta_omega outside (-2, -0.5)
+                       # (MainRunner.jl:168-171 per-node sanity print)
 
 
 def _alloc_pools(E, P, NS, dtype):
@@ -225,12 +232,38 @@ def _alloc_pools(E, P, NS, dtype):
 def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
                  tcfg: TreeConfig, *, lnt_end) -> TreeResult:
     """Forward branching tree from the MC-selected conversion point
-    (get_tree, MainRunner.jl:126-352; parent photon seeded MainRunner.jl:653-664)."""
+    (get_tree, MainRunner.jl:126-352; parent photon seeded MainRunner.jl:653-664).
+
+    Batched work-queue engine: every iteration selects, per event, the K
+    highest-weight pending nodes (K = mc_nodes + 2 bounds the pending count —
+    only the first mc_nodes processings can net +1 pending each, the MC mode
+    after that is net 0) and propagates all E*K rays as ONE batch, so the
+    megakernel sees full 128-lane tiles instead of one ray per event.  Within
+    an iteration nodes are ranked by weight (the reference's sort!-then-pop,
+    MainRunner.jl:342); cutoffs are evaluated after each iteration, so a
+    batch may overshoot max_nodes/num_cutoff by up to K-1 nodes — strictly
+    *more* tree explored than the reference at the same settings.
+
+    `key`: either a single PRNG key (per-event keys derived by folding in the
+    event's batch index — single-host layout) or per-event keys of shape
+    [E, 2]/[E] typed keys (the sharding-invariant product path: derive them
+    from *global* event seeds so results do not depend on the device mesh).
+    Each node's MC draw folds in its per-event processing index, so draws are
+    invariant to how iterations batch the work.
+    """
     E = xpos.shape[0]
     dtype = xpos.dtype
     P = 2 * tcfg.max_nodes + 4
     NS = cfg.n_save
+    K = int(min(P, tcfg.mc_nodes + 2))
     eidx = jnp.arange(E)
+
+    key = jnp.asarray(key)
+    per_event = key.shape[:1] == (E,) and (key.ndim == 1 or key.shape == (E, 2))
+    if per_event and not (E == 2 and key.ndim == 1 and key.dtype == jnp.uint32):
+        keys = key
+    else:  # single raw key: derive per-event keys from the batch index
+        keys = jax.vmap(lambda e: jax.random.fold_in(key, e))(eidx)
 
     pools = _alloc_pools(E, P, NS, dtype)
     # seed the parent photon: weight 1, prob from the conversion point
@@ -251,6 +284,15 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
     dt0_ln = cfg.ln_t_start
     lnt1 = jnp.broadcast_to(jnp.asarray(lnt_end, dtype), (E,))
+    lnt1K = jnp.broadcast_to(lnt1[:, None], (E, K))
+    ergK = jnp.broadcast_to(erg_inf[:, None], (E, K))
+    eK = jnp.broadcast_to(eidx[:, None], (E, K))
+    jrange = jnp.arange(K, dtype=jnp.int32)[None, :]
+    DROP = P  # out-of-range scatter sentinel; writes masked via mode="drop"
+    # benign state for inert work-queue lanes (they exit the integrator
+    # immediately via lnt0 == lnt1, but must not produce NaNs on the way in)
+    pos_safe = jnp.stack([3.0 * sc.r_ns, 0.1 * sc.r_ns, 0.1 * sc.r_ns]).astype(dtype)
+    k_safe = jnp.asarray([1.0, 0.0, 0.0], dtype)
 
     class Carry(NamedTuple):
         pools: TreePools
@@ -260,6 +302,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         info: Any
         done: Any
         n_alloc: Any
+        dw_anom: Any
         it: Any
 
     carry0 = Carry(
@@ -270,109 +313,120 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         info=jnp.ones(E, jnp.int32),
         done=jnp.zeros(E, bool),
         n_alloc=jnp.ones(E, jnp.int32),
+        dw_anom=jnp.zeros(E, jnp.int32),
         it=jnp.zeros((), jnp.int32),
     )
+
+    def flat(a):
+        return a.reshape((E * K,) + a.shape[2:])
+
+    def unflat(a):
+        return a.reshape((E, K) + a.shape[1:])
 
     def body(c: Carry) -> Carry:
         pl = c.pools
         pending = pl.status == 1
         has_pending = jnp.any(pending, axis=1)
         active = ~c.done & has_pending
-        # highest-weight pending node per event (== sort! + pop, MainRunner.jl:342)
-        wmask = jnp.where(pending, pl.weight, -jnp.inf)
-        sel = jnp.argmax(wmask, axis=1)
+        # K highest-weight pending nodes per event, weight-descending
+        # (== sort! + pop, MainRunner.jl:342, K at a time)
+        wmask = jnp.where(pending & active[:, None], pl.weight, -jnp.inf)
+        top_w, top_idx = lax.top_k(wmask, K)          # [E, K]
+        valid = jnp.isfinite(top_w)
 
-        pos0 = pl.pos[eidx, sel]
-        k0 = pl.k[eidx, sel]
-        t_node = pl.t[eidx, sel]
-        dw_node = pl.dw[eidx, sel]
-        is_ph = pl.is_photon[eidx, sel]
-        w_node = pl.weight[eidx, sel]
-        count_now = c.count + 1  # the reference's `count` during this iteration
+        def g2(buf):
+            return buf[eK, top_idx]
 
-        lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(dt0_ln)))
+        pos0 = jnp.where(valid[..., None], g2(pl.pos), pos_safe)
+        k0 = jnp.where(valid[..., None], g2(pl.k), k_safe)
+        t_node = g2(pl.t)
+        dw_node = jnp.where(valid, g2(pl.dw), -1.0)
+        is_ph = g2(pl.is_photon)
+        w_node = g2(pl.weight)
+        prob_conv_parent = g2(pl.prob_conv)
+        # per-node processing index: rank within the iteration continues the
+        # event's running count (the reference's `count` at pop time)
+        count_now = c.count[:, None] + 1 + jrange
+
+        lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(jnp.asarray(dt0_ln, dtype))))
+        lnt0 = jnp.where(valid, lnt0, lnt1K)  # inert lanes exit immediately
+        prop_kw = dict(
+            erg=flat(ergK), delta_w=flat(dw_node), lnt0=flat(lnt0),
+            lnt1=flat(lnt1K), is_photon=flat(is_ph), species="mixed",
+        )
         if cfg.engine == "mega":
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
-            res = propagate_mega(
-                pos0, k0, sc, cfg,
-                erg=erg_inf,
-                delta_w=dw_node,
-                lnt0=lnt0,
-                lnt1=lnt1,
-                is_photon=is_ph,
-                max_crossings=1,
-                species="mixed",
-            )
+            res = propagate_mega(flat(pos0), flat(k0), sc, cfg,
+                                 max_crossings=1, **prop_kw)
         else:
-            res = propagate(
-                pos0, k0, sc, cfg,
-                erg=erg_inf,
-                delta_w=dw_node,
-                lnt0=lnt0,
-                lnt1=lnt1,
-                is_photon=is_ph,
-                max_crossings=jnp.ones(E, jnp.int32),
-                species="mixed",
-            )
+            res = propagate(flat(pos0), flat(k0), sc, cfg,
+                            max_crossings=jnp.ones(E * K, jnp.int32), **prop_kw)
 
-        has_cross = res.n_cross >= 1
-        xc = res.xc[:, 0, :]
-        kc = res.kc[:, 0, :]
-        tcx = res.tc[:, 0]
-        dwcx = res.dwc[:, 0]
+        has_cross = unflat(res.n_cross) >= 1
+        xc = unflat(res.xc[:, 0, :])
+        kc = unflat(res.kc[:, 0, :])
+        tcx = unflat(res.tc[:, 0])
+        dwcx = unflat(res.dwc[:, 0])
 
         # "rare fail" guard (MainRunner.jl:213-224): |velocity component| > 1
-        rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=1)
-        cross_ok = has_cross & ~rare_fail
+        rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=-1) & valid
+        cross_ok = has_cross & ~rare_fail & valid
 
-        pcx, _ = _prob_batch(xc, kc, erg_inf * jnp.abs(dwcx), sc, cfg.compute_dtype)
+        xc_s = jnp.where(cross_ok[..., None], xc, pos_safe)
+        kc_s = jnp.where(cross_ok[..., None], kc, k_safe)
+        pcx_flat, _ = _prob_batch(flat(xc_s), flat(kc_s),
+                                  flat(ergK * jnp.abs(dwcx)), sc, cfg.compute_dtype)
+        pcx = jnp.where(cross_ok, unflat(pcx_flat), 0.0)
 
-        # --- record propagation results on the processed node ---
-        upd = active
+        # --- record propagation results on the processed nodes ---
+        sel_w = jnp.where(valid, top_idx, DROP)
+        sel_x = jnp.where(cross_ok, top_idx, DROP)
+
+        def sc2(buf, val, slot):
+            return buf.at[eK, slot].set(val, mode="drop")
+
+        traj_k = unflat(res.traj)
+        mom_k = unflat(res.mom)
         pl = pl._replace(
-            status=jnp.where(upd[:, None], pl.status.at[eidx, sel].set(2), pl.status),
-            fpos=jnp.where(upd[:, None, None],
-                           pl.fpos.at[eidx, sel].set(res.traj[:, -1, :]), pl.fpos),
-            fmom=jnp.where(upd[:, None, None],
-                           pl.fmom.at[eidx, sel].set(res.mom[:, -1, :]), pl.fmom),
-            ferg=jnp.where(upd[:, None], pl.ferg.at[eidx, sel].set(res.erg[:, -1]), pl.ferg),
-            ftime=jnp.where(upd[:, None], pl.ftime.at[eidx, sel].set(res.final_lnt), pl.ftime),
-            traj=jnp.where(upd[:, None, None, None],
-                           pl.traj.at[eidx, sel].set(res.traj), pl.traj),
-            mom=jnp.where(upd[:, None, None, None],
-                          pl.mom.at[eidx, sel].set(res.mom), pl.mom),
-            times=jnp.where(upd[:, None, None],
-                            pl.times.at[eidx, sel].set(res.times), pl.times),
-            xc=jnp.where((upd & cross_ok)[:, None, None],
-                         pl.xc.at[eidx, sel].set(xc), pl.xc),
-            kc=jnp.where((upd & cross_ok)[:, None, None],
-                         pl.kc.at[eidx, sel].set(kc), pl.kc),
-            tcx=jnp.where((upd & cross_ok)[:, None], pl.tcx.at[eidx, sel].set(tcx), pl.tcx),
-            dwcx=jnp.where((upd & cross_ok)[:, None], pl.dwcx.at[eidx, sel].set(dwcx), pl.dwcx),
-            pcx=jnp.where((upd & cross_ok)[:, None], pl.pcx.at[eidx, sel].set(pcx), pl.pcx),
-            has_cross=jnp.where(upd[:, None], pl.has_cross.at[eidx, sel].set(cross_ok),
-                                pl.has_cross),
-            order=jnp.where(upd[:, None], pl.order.at[eidx, sel].set(count_now),
-                            pl.order),
+            status=sc2(pl.status, jnp.full((E, K), 2, jnp.int32), sel_w),
+            fpos=sc2(pl.fpos, traj_k[:, :, -1, :], sel_w),
+            fmom=sc2(pl.fmom, mom_k[:, :, -1, :], sel_w),
+            ferg=sc2(pl.ferg, unflat(res.erg)[:, :, -1], sel_w),
+            ftime=sc2(pl.ftime, unflat(res.final_lnt), sel_w),
+            traj=sc2(pl.traj, traj_k, sel_w),
+            mom=sc2(pl.mom, mom_k, sel_w),
+            times=sc2(pl.times, unflat(res.times), sel_w),
+            xc=sc2(pl.xc, xc, sel_x),
+            kc=sc2(pl.kc, kc, sel_x),
+            tcx=sc2(pl.tcx, tcx, sel_x),
+            dwcx=sc2(pl.dwcx, dwcx, sel_x),
+            pcx=sc2(pl.pcx, pcx, sel_x),
+            has_cross=sc2(pl.has_cross, cross_ok, sel_w),
+            order=sc2(pl.order, count_now, sel_w),
         )
 
         # --- no crossing: final node (MainRunner.jl:200-207) ---
-        no_cross = active & ~has_cross
-        r_end = jnp.linalg.norm(res.traj[:, -1, :], axis=1)
+        no_cross = valid & ~has_cross
+        r_end = jnp.linalg.norm(traj_k[:, :, -1, :], axis=-1)
         final_ok = no_cross & (r_end > sc.r_ns * 1.1)
         pl = pl._replace(
-            is_final=jnp.where(no_cross[:, None], pl.is_final.at[eidx, sel].set(final_ok),
-                               pl.is_final)
+            is_final=sc2(pl.is_final, final_ok, jnp.where(no_cross, top_idx, DROP))
         )
-        tot_prob = c.tot_prob + jnp.where(no_cross | (active & rare_fail), w_node, 0.0)
-        count_main = c.count_main + no_cross.astype(jnp.int32)
+        tot_prob = c.tot_prob + jnp.sum(
+            jnp.where(no_cross | rare_fail, w_node, 0.0), axis=1)
+        count_main = c.count_main + jnp.sum(no_cross, axis=1).astype(jnp.int32)
+        dw_bad = valid & ((dw_node > -0.5) | (dw_node < -2.0))
+        dw_anom = c.dw_anom + jnp.sum(dw_bad, axis=1).astype(jnp.int32)
 
         # --- spawn children (MainRunner.jl:278-305) ---
-        spawn = active & cross_ok
+        spawn = cross_ok
         mc_mode = count_now > tcfg.mc_nodes
-        subkey = jax.vmap(lambda e: jax.random.fold_in(jax.random.fold_in(key, e), c.it))(eidx)
-        r_mc = jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(subkey)
+        # MC draw keyed on (event key, per-event node index): invariant to
+        # sharding and to how iterations batch the work
+        keys_rep = jnp.repeat(keys, K, axis=0)
+        subkey = jax.vmap(jax.random.fold_in)(keys_rep, flat(count_now))
+        r_mc = unflat(jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(subkey))
         convert_mc = r_mc < pcx
 
         new_species = ~is_ph
@@ -383,55 +437,54 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         a_prob = jnp.where(mc_mode, jnp.where(convert_mc, pcx, 1.0 - pcx), pcx)
         a_weight = jnp.where(mc_mode, w_node, pcx * w_node)
         a_prob_conv0 = jnp.where(
-            mc_mode,
-            jnp.where(convert_mc, pcx, pl.prob_conv[eidx, sel]),
-            pcx,
-        )
-        slot_a = c.n_alloc
-        write_a = spawn & (slot_a < P)
-        sa = jnp.clip(slot_a, 0, P - 1)
+            mc_mode, jnp.where(convert_mc, pcx, prob_conv_parent), pcx)
 
-        def wr(buf, val, mask, slot):
-            if buf.ndim == 3:
-                return jnp.where(mask[:, None, None], buf.at[eidx, slot].set(val), buf)
-            return jnp.where(mask[:, None], buf.at[eidx, slot].set(val), buf)
+        # per-node child slots: exclusive running sum of children within the
+        # iteration, appended after the event's current allocation
+        n_child = jnp.where(spawn, jnp.where(mc_mode, 1, 2), 0).astype(jnp.int32)
+        base = c.n_alloc[:, None] + jnp.cumsum(n_child, axis=1) - n_child
+        slot_a = base
+        slot_b = base + 1
+        write_a = spawn & (slot_a < P)
+        write_b = spawn & ~mc_mode & (slot_b < P)
+        sa = jnp.where(write_a, slot_a, DROP)
+        sb = jnp.where(write_b, slot_b, DROP)
 
         pl = pl._replace(
-            pos=wr(pl.pos, xc, write_a, sa),
-            k=wr(pl.k, kc, write_a, sa),
-            t=wr(pl.t, tcx, write_a, sa),
-            dw=wr(pl.dw, dwcx, write_a, sa),
-            is_photon=wr(pl.is_photon, a_species, write_a, sa),
-            prob=wr(pl.prob, a_prob, write_a, sa),
-            weight=wr(pl.weight, a_weight, write_a, sa),
-            parent_weight=wr(pl.parent_weight, w_node, write_a, sa),
-            prob_conv=wr(pl.prob_conv, pcx, write_a, sa),
-            prob_conv0=wr(pl.prob_conv0, a_prob_conv0, write_a, sa),
-            status=wr(pl.status, jnp.ones(E, jnp.int32), write_a, sa),
+            pos=sc2(pl.pos, xc, sa),
+            k=sc2(pl.k, kc, sa),
+            t=sc2(pl.t, tcx, sa),
+            dw=sc2(pl.dw, dwcx, sa),
+            is_photon=sc2(pl.is_photon, a_species, sa),
+            prob=sc2(pl.prob, a_prob, sa),
+            weight=sc2(pl.weight, a_weight, sa),
+            parent_weight=sc2(pl.parent_weight, w_node, sa),
+            prob_conv=sc2(pl.prob_conv, pcx, sa),
+            prob_conv0=sc2(pl.prob_conv0, a_prob_conv0, sa),
+            status=sc2(pl.status, jnp.ones((E, K), jnp.int32), sa),
         )
 
         # child B (full-tree mode only): the surviving parent species
-        slot_b = c.n_alloc + 1
-        write_b = spawn & ~mc_mode & (slot_b < P)
-        sb = jnp.clip(slot_b, 0, P - 1)
         pl = pl._replace(
-            pos=wr(pl.pos, xc, write_b, sb),
-            k=wr(pl.k, kc, write_b, sb),
-            t=wr(pl.t, tcx, write_b, sb),
-            dw=wr(pl.dw, dwcx, write_b, sb),
-            is_photon=wr(pl.is_photon, is_ph, write_b, sb),
-            prob=wr(pl.prob, 1.0 - pcx, write_b, sb),
-            weight=wr(pl.weight, (1.0 - pcx) * w_node, write_b, sb),
-            parent_weight=wr(pl.parent_weight, w_node, write_b, sb),
-            prob_conv=wr(pl.prob_conv, pcx, write_b, sb),
-            prob_conv0=wr(pl.prob_conv0, pl.prob_conv[eidx, sel], write_b, sb),
-            status=wr(pl.status, jnp.ones(E, jnp.int32), write_b, sb),
+            pos=sc2(pl.pos, xc, sb),
+            k=sc2(pl.k, kc, sb),
+            t=sc2(pl.t, tcx, sb),
+            dw=sc2(pl.dw, dwcx, sb),
+            is_photon=sc2(pl.is_photon, is_ph, sb),
+            prob=sc2(pl.prob, 1.0 - pcx, sb),
+            weight=sc2(pl.weight, (1.0 - pcx) * w_node, sb),
+            parent_weight=sc2(pl.parent_weight, w_node, sb),
+            prob_conv=sc2(pl.prob_conv, pcx, sb),
+            prob_conv0=sc2(pl.prob_conv0, prob_conv_parent, sb),
+            status=sc2(pl.status, jnp.ones((E, K), jnp.int32), sb),
         )
-        n_alloc = c.n_alloc + write_a.astype(jnp.int32) + write_b.astype(jnp.int32)
+        n_alloc = c.n_alloc + jnp.sum(
+            write_a.astype(jnp.int32) + write_b.astype(jnp.int32),
+            axis=1).astype(jnp.int32)
 
-        count = jnp.where(active, count_now, c.count)
+        count = c.count + jnp.sum(valid, axis=1).astype(jnp.int32)
 
-        # --- cutoffs (MainRunner.jl:324-339) ---
+        # --- cutoffs (MainRunner.jl:324-339), checked once per iteration ---
         info = c.info
         done = c.done
         hit2 = active & (tot_prob >= 1.0 - tcfg.prob_cutoff)
@@ -447,7 +500,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         return Carry(pools=pl, tot_prob=tot_prob, count=count,
                      count_main=count_main, info=info, done=done,
-                     n_alloc=n_alloc, it=c.it + 1)
+                     n_alloc=n_alloc, dw_anom=dw_anom, it=c.it + 1)
 
     def cond(c: Carry):
         return jnp.any(~c.done) & (c.it <= tcfg.max_nodes + 1)
@@ -456,7 +509,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
     info = jnp.where(out.count > tcfg.mc_nodes, -jnp.abs(out.info), out.info)
     return TreeResult(pools=out.pools, count=out.count, count_main=out.count_main,
-                      info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc)
+                      info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc,
+                      dw_anomalies=out.dw_anom)
 
 
 def print_tree(result: TreeResult, event: int = 0):

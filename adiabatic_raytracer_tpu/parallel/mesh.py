@@ -49,6 +49,17 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = EVENT_AXIS) -> M
     return Mesh(np.array(devs), (axis_name,))
 
 
+def shard_over_events(mesh: Mesh, fn):
+    """Wrap fn (all inputs/outputs event-major [E, ...]) in a shard_map over
+    the event axis.  The production driver uses this to run its full
+    kinematics -> backtrace -> forward-tree pipeline sharded (driver.run
+    mesh_devices); RNG must already be carried per event for the result to
+    be mesh-size-invariant."""
+    ev = P(EVENT_AXIS)
+    return jax.shard_map(fn, mesh=mesh, in_specs=ev, out_specs=ev,
+                         check_vma=False)
+
+
 def event_pipeline_sharded(mesh: Mesh, sc: Scene, cfg: NumericsConfig,
                            tcfg: TreeConfig, *, maxR, lnt_end, nbins: int = 50):
     """Build the jitted, sharded per-batch event pipeline.
@@ -64,7 +75,10 @@ def event_pipeline_sharded(mesh: Mesh, sc: Scene, cfg: NumericsConfig,
         k_init, sln_prob, cos_w, _ = _event_kinematics(xpos, v_loc, erg_inf,
                                                        maxR, sc, tcfg)
         bt = tree.backtrace(xpos, k_init, erg_inf, sc, cfg, tcfg, lnt_end=lnt_end)
-        tr = tree.forward_tree(jax.random.PRNGKey(seeds[0]), xpos, k_init,
+        # per-event keys from the *global* per-event seeds: the MC tree draws
+        # are then invariant to the mesh size (1-chip == 8-chip rows)
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        tr = tree.forward_tree(keys, xpos, k_init,
                                erg_inf, sc, cfg, tcfg, lnt_end=lnt_end)
         h_ph, h_ax = pulse_profile_from_pools(tr.pools, bt.samp_back_weight,
                                               sln_prob, nbins=nbins)

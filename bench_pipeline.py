@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end production-pipeline benchmark: events/s through driver.run.
+
+Times the COMPLETE per-event pipeline of the reference's main_runner_tree
+(MainRunner.jl:450-747): conversion-surface sampling -> launch kinematics ->
+axion backtrace -> forward branching tree -> row assembly -> npy write, at
+the reference's default cutoffs.  This is the number that describes the
+product (bench.py's rays/s describes the raw integration kernel).
+
+vs_baseline compares against an estimated single-core Julia throughput of
+~3 events/s: one event costs one sampler scan plus O(10) propagate calls
+(backtrace + tree nodes, MainRunner.jl:581-664) at the ~50 rays/s single-ray
+estimate documented in bench.py, i.e. ~0.3 s/event.  No published reference
+numbers exist (BASELINE.md).
+
+Environment knobs: BENCH_EVENTS (default 512), BENCH_EVENT_BATCH (default
+256), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
+(default: megakernel + f32 physics on TPU, pool + f64 on CPU).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+JULIA_CPU_EVENTS_PER_SEC = 3.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+
+    n_events = int(os.environ.get("BENCH_EVENTS", "512"))
+    event_batch = int(os.environ.get("BENCH_EVENT_BATCH", "256"))
+    seed = int(os.environ.get("BENCH_SEED", "1769"))
+
+    platform = jax.devices()[0].platform
+    compute_dtype = os.environ.get(
+        "BENCH_COMPUTE_DTYPE", "state" if platform == "cpu" else "f32")
+    engine = os.environ.get(
+        "BENCH_PIPE_ENGINE", "pool" if platform == "cpu" else "mega")
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
+                         compute_dtype=compute_dtype, engine=engine)
+    tcfg = TreeConfig()  # reference default cutoffs
+
+    # batches must all have the same shape or the pipeline recompiles
+    n_events = ((n_events + event_batch - 1) // event_batch) * event_batch
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        # warmup: compile sampler + pipeline at the production batch shape
+        run(sc, cfg, tcfg, 1 + event_batch, seed=seed, save_mode=0,
+            dir_tag=tmp, event_batch=event_batch, verbose=False)
+
+        t0 = time.perf_counter()
+        out = run(sc, cfg, tcfg, 1 + n_events, seed=seed, save_mode=0,
+                  dir_tag=tmp, event_batch=event_batch, verbose=False)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert out is not None
+    rows, _, stats = out
+    events_per_sec = n_events / dt
+    print(json.dumps({
+        "metric": "pipeline_events_per_sec_per_chip",
+        "value": round(events_per_sec, 2),
+        "unit": "events/s",
+        "vs_baseline": round(events_per_sec / JULIA_CPU_EVENTS_PER_SEC, 2),
+        "events": n_events,
+        "event_batch": event_batch,
+        "finals": int(stats.finals),
+        "nodes": int(stats.tot_nodes),
+        "nodes_per_sec": round(stats.tot_nodes / dt, 1),
+        "rows": int(rows.shape[0]),
+        "wall_s": round(dt, 3),
+        "engine": engine,
+        "compute_dtype": compute_dtype,
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

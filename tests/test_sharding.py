@@ -24,6 +24,33 @@ def test_entry_compiles():
     assert np.all(np.isfinite(np.asarray(traj)))
 
 
+def test_driver_mesh_invariant_with_mc(tmp_path):
+    """Production driver: 1-device vs 2-device mesh runs produce identical
+    rows at the same seed, with MCNodes=0 forcing every branching through an
+    MC draw (per-event keys from global event numbers -> mesh-invariant)."""
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+
+    sc = Scene(theta_m=0.2)
+    cfg = NumericsConfig(interp_points=8, max_crossings=8)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=0, max_nodes=10)
+    rows = []
+    for nd in (1, 2):
+        out = run(sc, cfg, tcfg, 3, seed=4242, save_mode=1, verbose=False,
+                  dir_tag=str(tmp_path / f"mesh{nd}"), event_batch=2,
+                  mesh_devices=nd)
+        assert out is not None
+        rows.append(out[0])
+    assert rows[0].shape[0] >= 1
+    assert rows[0].shape == rows[1].shape
+    # discrete structure (event no, species, node count, info, c_bck) must be
+    # bit-identical: any MC-draw divergence would flip these first
+    for col in (0, 1, 20, 21, 27):
+        np.testing.assert_array_equal(rows[0][:, col], rows[1][:, col])
+    # continuous columns agree up to XLA fusion-order FP noise (~1e-12)
+    np.testing.assert_allclose(rows[0], rows[1], rtol=1e-9, atol=1e-300)
+
+
 def test_sharded_matches_single_device():
     """1-chip vs 8-chip shardings produce identical per-event results
     (the reference's combine-step equivalence, SURVEY.md §4)."""
