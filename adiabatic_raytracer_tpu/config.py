@@ -122,6 +122,15 @@ class TreeConfig:
     mc_nodes: int = static_field(5)       # --MCNodes
     max_nodes: int = static_field(50)     # --maxNodes
     n_max_sample: int = static_field(6)   # n_maxSample (fixed block, Gen_Samples.jl:174)
+    # Conversion-surface sampling measure: True = flat disk measure
+    # (find_samples_new, production); False = the legacy 1/r measure of
+    # find_samples (RayTracer.jl:1656-1799).
+    flat_sampling: bool = static_field(True)
+    # Resonance-scan resolution of the reference's fixed block
+    # (ntimes_ax, Gen_Samples.jl:169); the sampler's dense line grid plays
+    # this role (sampler.default_n_grid matches the production Euler+
+    # interp_points resolution when this is left at the default).
+    ntimes_ax: int = static_field(50000)
 
 
 def default_ln_t_end(scene: Scene):

@@ -99,7 +99,8 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
 
 
 @functools.lru_cache(maxsize=8)
-def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max):
+def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max,
+                   flat_sampling: bool = True):
     """Jitted conversion-surface sampler, cached across run() calls so a
     warmup run compiles for the production run (configs are frozen
     dataclasses, hence hashable).
@@ -112,6 +113,7 @@ def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max):
     def packed(k, b):
         res = sampler.sample_batch(k, b, maxR, sc, sc.mass_ns,
                                    n_grid=n_grid, n_max=n_max,
+                                   flat_sampling=flat_sampling,
                                    compute_dtype=cfg.compute_dtype)
         d = res.xpos.dtype
         return jnp.concatenate([
@@ -200,7 +202,8 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     n_grid = sampler.default_n_grid(maxR)
     n_max = tcfg.n_max_sample
 
-    sample_jit = _build_sampler(sc, cfg, maxR, n_grid, n_max)
+    sample_jit = _build_sampler(sc, cfg, maxR, n_grid, n_max,
+                                tcfg.flat_sampling)
     pipeline_jit = _build_pipeline(sc, cfg, tcfg, maxR, lnt_end,
                                    int(mesh_devices or 0))
     pad_to = mesh_devices if mesh_devices and mesh_devices > 1 else 1

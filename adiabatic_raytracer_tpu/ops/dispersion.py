@@ -154,3 +154,51 @@ def k_sphere(x_cart, k_cart, mass_ns, flat=False):
     No 1/erg normalization (matches the reference)."""
     m = 0.0 if flat else mass_ns
     return celerity_from_cart(x_cart, k_cart, m)
+
+
+def test_on_shell(x_cart, v_loc, v_ifty_mag, time0, sc: Scene, mass_ns, *,
+                  iso=True, melrose=False, bndry_lyr=-1.0):
+    """On-shell diagnostic: |H|/erg_inf^2 at a batch of launch states
+    (test_on_shell, RayTracer.jl:591-629).
+
+    The reference keeps this as a callable debugging probe (not wired into
+    the production path): build the celerity state from a local velocity
+    direction, renormalize onto the axion shell, and evaluate the photon
+    Hamiltonian.  Returns (vals_at_propagating_points, propagating_mask,
+    min |H|/erg^2 over the whole batch), where propagating means the local
+    energy exceeds omega_p.
+    """
+    import dataclasses
+
+    from adiabatic_raytracer_tpu.constants import C_KM
+    from adiabatic_raytracer_tpu.models.metric import schwarzschild_radius
+
+    x_cart = jnp.atleast_2d(x_cart)
+    v_loc = jnp.atleast_2d(v_loc)
+    v_ifty_mag = jnp.atleast_1d(v_ifty_mag)
+
+    r = jnp.linalg.norm(x_cart, axis=-1)
+    r_s0 = schwarzschild_radius(mass_ns)
+    aa = 1.0 - r_s0 / jnp.maximum(r, sc.r_ns)  # interior clamp (RayTracer.jl:602-603)
+
+    gamma_a = 1.0 / jnp.sqrt(1.0 - (v_ifty_mag / C_KM) ** 2)
+    erg_inf = sc.mass_a * jnp.sqrt(1.0 + (v_ifty_mag / C_KM * gamma_a) ** 2)
+    erg_loc = erg_inf / jnp.sqrt(aa)
+
+    v0 = v_loc * (erg_loc / jnp.sqrt(erg_loc**2 + sc.mass_a**2))[:, None]
+    x_sph = cart_to_sph(x_cart)
+    w0 = celerity_from_cart(x_cart, v0, mass_ns)
+
+    g_tt, g_rr, g_thth, g_pp = metric_inverse(x_sph, mass_ns)
+    wsq = g_rr * w0[..., 0] ** 2 + g_thth * w0[..., 1] ** 2 + g_pp * w0[..., 2] ** 2
+    nrm_sq = (-(erg_inf**2) * g_tt - sc.mass_a**2) / wsq
+    w0 = w0 * jnp.sqrt(nrm_sq)[:, None]
+
+    sc_eval = dataclasses.replace(sc, isotropic=bool(iso), melrose=bool(melrose))
+    val = hamiltonian_photon(x_sph, w0, time0, erg_inf, sc_eval, mass_ns,
+                             zero_in=False, bndry_lyr=bndry_lyr) / erg_inf**2
+    wp = omega_p_sph(x_sph, time0, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
+                     mass_a=sc.mass_a, bndry_lyr=bndry_lyr, zero_in=False)
+    propagating = erg_loc > wp
+    vals = jnp.where(propagating, val, jnp.nan)
+    return vals, propagating, jnp.min(jnp.abs(val))

@@ -14,6 +14,7 @@ State conventions (as in the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from adiabatic_raytracer_tpu.models.metric import lapse_A, metric_inverse
@@ -95,3 +96,93 @@ def spatial_dot(x_sph, a, b, mass_ns):
 
 def spatial_norm(x_sph, a, mass_ns):
     return jnp.sqrt(spatial_dot(x_sph, a, a, mass_ns))
+
+
+# ---------------------------------------------------------------------------
+# Conversion-surface-angle diagnostics (single-point; vmap over batches).
+# These are inventoried components of the reference that are dead in its
+# production path — provided for API parity and analysis use.
+# ---------------------------------------------------------------------------
+
+
+def _surface_normal_sph(x_sph, t, sc, mass_ns):
+    """Covariant, metric-normalized gradient of omega_p: the conversion-
+    surface normal (surfNorm inner block, RayTracer.jl:914-916)."""
+    from adiabatic_raytracer_tpu.models.magnetosphere import omega_p_sph
+
+    grd = jax.grad(
+        lambda xp: omega_p_sph(xp, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
+                               mass_a=sc.mass_a, bndry_lyr=sc.bndry_lyr)
+    )(x_sph)
+    return grd / spatial_norm(x_sph, grd, mass_ns)
+
+
+def surf_norm(x_cart, k_cart, t, sc, mass_ns, *, return_vec=False):
+    """cos(angle) between the ray momentum and the conversion-surface normal
+    grad(omega_p), in the covariant 3-metric (surfNorm, RayTracer.jl:895-933).
+    Single point; vmap for batches."""
+    x_sph = cart_to_sph(x_cart)
+    w = celerity_from_cart(x_cart, k_cart, mass_ns)
+    snorm = _surface_normal_sph(x_sph, t, sc, mass_ns)
+    ctheta = spatial_dot(x_sph, w, snorm, mass_ns) / spatial_norm(x_sph, w, mass_ns)
+    if return_vec:
+        return ctheta, snorm
+    return ctheta
+
+
+def angle_vg_snorm(x_cart, vg_cart, t, sc, mass_ns, *, return_vec=False):
+    """cos(angle) between the group velocity and the conversion-surface normal
+    (angle_vg_sNorm, RayTracer.jl:1011-1042).  The reference evaluates the
+    identical covariant-celerity projection as surfNorm; only the Mvars
+    plumbing differs, so this shares the implementation."""
+    return surf_norm(x_cart, vg_cart, t, sc, mass_ns, return_vec=return_vec)
+
+
+def theta_b_cart(x_cart, k_cart, t, sc):
+    """Angle between k and B in flat Cartesian components
+    (theta_B, RayTracer.jl:951-955)."""
+    from adiabatic_raytracer_tpu.models.magnetosphere import b_cart
+
+    b = b_cart(x_cart, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns)
+    cos_t = jnp.sum(k_cart * b, axis=-1) / jnp.sqrt(
+        jnp.sum(k_cart * k_cart, axis=-1) * jnp.sum(b * b, axis=-1))
+    return jnp.arccos(cos_t)
+
+
+def dtheta_dr_proj(x_cart, k_cart, t, sc):
+    """|k_hat . grad(theta_B)| (dθdr_proj, RayTracer.jl:1060-1063).
+    Single point; vmap for batches."""
+    grd = jax.grad(lambda x: theta_b_cart(x, k_cart, t, sc))(x_cart)
+    return jnp.abs(jnp.sum(k_cart * grd)) / jnp.sqrt(jnp.sum(k_cart * k_cart))
+
+
+def dwdr_abs_proj(x_cart, k_cart, t, sc):
+    """|k_hat . grad(omega_p)| in Cartesian coordinates.  The reference's
+    `d2wdr2_abs_vec` calls a `dwdr_abs_vec` that is NOT defined anywhere in
+    the repo (dangling dead-code dependency, RayTracer.jl:939-942); this is
+    the projection its name and call signature imply."""
+    from adiabatic_raytracer_tpu.models.magnetosphere import omega_p_cart
+
+    grd = jax.grad(
+        lambda x: omega_p_cart(x, t, sc.theta_m, sc.omega_pul, sc.b0, sc.r_ns,
+                               mass_a=sc.mass_a, bndry_lyr=sc.bndry_lyr)
+    )(x_cart)
+    return jnp.abs(jnp.sum(k_cart * grd)) / jnp.sqrt(jnp.sum(k_cart * k_cart))
+
+
+def d2wdr2_abs_vec(x_cart, k_cart, t, sc):
+    """Second directional derivative bundle of omega_p along the ray
+    (d2wdr2_abs_vec, RayTracer.jl:936-949):
+
+        (2/tan(theta_B) * dθdr_proj * dwdr - d2wdr2_proj) / sin(theta_B)^2
+
+    The reference function is dead code whose inner `dwdr_abs_vec` is
+    undefined there; this implements the formula with `dwdr_abs_proj` in
+    that role.  Single point; vmap for batches."""
+    d2_grd = jax.grad(lambda x: dwdr_abs_proj(x, k_cart, t, sc))(x_cart)
+    khat_norm = jnp.sqrt(jnp.sum(k_cart * k_cart))
+    d2_proj = jnp.abs(jnp.sum(k_cart * d2_grd)) / khat_norm
+    dwdr = dwdr_abs_proj(x_cart, k_cart, t, sc)
+    theta = theta_b_cart(x_cart, k_cart, t, sc)
+    d0dr = dtheta_dr_proj(x_cart, k_cart, t, sc)
+    return (2.0 / jnp.tan(theta) * d0dr * dwdr - d2_proj) / jnp.sin(theta) ** 2

@@ -201,11 +201,16 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
 
 
 def sample_batch(key, batch: int, maxR, sc: Scene, mass_ns, *, n_grid: int,
-                 n_max: int = 6, thick: bool = True, compute_dtype: str = "state"):
+                 n_max: int = 6, thick: bool = True, flat_sampling: bool = True,
+                 compute_dtype: str = "state"):
+    """flat_sampling=False selects the legacy 1/r disk-radius measure of
+    `find_samples` (RayTracer.jl:1656-1799) instead of the production flat
+    measure of `find_samples_new`."""
     keys = jax.random.split(key, batch)
     return jax.vmap(
         lambda k: sample_one(k, maxR, sc, mass_ns, n_grid=n_grid, n_max=n_max,
-                             thick=thick, compute_dtype=compute_dtype)
+                             thick=thick, flat_sampling=flat_sampling,
+                             compute_dtype=compute_dtype)
     )(keys)
 
 
