@@ -469,6 +469,22 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         n_cross2 = n_cross + jnp.where(record, 1.0, 0.0)
         term_cross = record & (n_cross2 >= max_crossings)
 
+        # Multi-crossing mode: a recorded, non-terminal crossing restarts the
+        # ray from the root's POST side (tau_hi keeps the new sign by
+        # bisection construction) instead of the step end, so a step that
+        # bracketed two crossings finds the second one on the next step —
+        # matching the pool's max_roots_per_step semantics
+        # (ops/integrator.py:250) at the cost of one extra RHS + condition
+        # eval per step, paid only when max_crossings > 1.
+        if n_slots > 1:
+            cont_cross = record & jnp.logical_not(term_cross)
+            u_hi = _hermite(u, u_new, f0, f_new, h, tau_hi)
+            lnt_hi = lnt + tau_hi * h
+            f_hi = _rhs(C, u_hi, lnt_hi, erg, is_ph)
+            g_hi = _condition(C, u_hi, lnt_hi)
+        else:
+            cont_cross = jnp.zeros_like(done)
+
         # ntimes=3 mid-point save (Hermite at the save-grid midpoint)
         in_step_mid = accept & (lnt < lnt_mid) & (lnt + h >= lnt_mid)
         tau_mid_s = jnp.where(h > 0, (lnt_mid - lnt) / jnp.where(h > 0, h, 1.0), 0.0)
@@ -482,19 +498,27 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         for j in range(7):
             d = u_new[j] - u[j]
             hi, lo = _ff_add(u[j], u_lo[j], jnp.where(accept, d, 0.0))
-            # terminate-at-crossing overrides
+            # terminate-at-crossing / restart-at-crossing overrides
             hi = jnp.where(term_cross, u_star[j], hi)
-            lo = jnp.where(term_cross, 0.0, lo)
+            if n_slots > 1:
+                hi = jnp.where(cont_cross, u_hi[j], hi)
+            lo = jnp.where(term_cross | cont_cross, 0.0, lo)
             u2.append(hi)
             u_lo2.append(lo)
         u2 = tuple(u2)
         u_lo2 = tuple(u_lo2)
         lnt2, lnt_lo2 = _ff_add(lnt, lnt_lo, jnp.where(accept, h, 0.0))
         lnt2 = jnp.where(term_cross, lnt_star, lnt2)
-        lnt_lo2 = jnp.where(term_cross, 0.0, lnt_lo2)
+        if n_slots > 1:
+            lnt2 = jnp.where(cont_cross, lnt_hi, lnt2)
+        lnt_lo2 = jnp.where(term_cross | cont_cross, 0.0, lnt_lo2)
 
         f02 = tuple(jnp.where(accept, fn, ff) for fn, ff in zip(f_new, f0))
         g02 = jnp.where(accept, g_new, g0)
+        if n_slots > 1:
+            f02 = tuple(jnp.where(cont_cross, fh, ff)
+                        for fh, ff in zip(f_hi, f02))
+            g02 = jnp.where(cont_cross, g_hi, g02)
 
         steps2 = steps + jnp.where(active, 1.0, 0.0)
 

@@ -112,3 +112,49 @@ def test_propagate_mega_backtrace_matches_pool():
             assert abs(rg - rr) / rr < 1e-3, (b, s, rr, rg)
     # axions are never NS-killed
     assert not np.any(np.asarray(got.ns_hit))
+
+
+def test_mega_multi_crossing_dense():
+    """Crossing-dense grazing geometry (up to 5 crossings per ray, steps that
+    can bracket two roots): the megakernel's restart-at-crossing must collect
+    the same crossings as the pool's max_roots_per_step scan
+    (ops/integrator.py:250)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import propagate
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.4, omega_pul=1.0, b0=-1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig(interp_points=8, compute_dtype="f32", max_steps=3000,
+                         max_crossings=8)
+    # grazing launches close to the star found to yield 2-5 crossings
+    B = 16
+    rng = np.random.default_rng(11)
+    r = rng.uniform(11.0, 18.0, 64)
+    th = np.arccos(rng.uniform(-0.9, 0.9, 64))
+    ph = rng.uniform(-np.pi, np.pi, 64)
+    x_all = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                      r * np.cos(th)], axis=1)
+    v_all = x_all / np.linalg.norm(x_all, axis=1, keepdims=True) * 0.3 \
+        + 0.7 * rng.normal(size=(64, 3))
+    x, v = x_all[:B], v_all[:B]
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+    args = dict(erg=jnp.asarray(erg), delta_w=-jnp.ones(B),
+                lnt0=jnp.full(B, cfg.ln_t_start), lnt1=jnp.zeros(B),
+                is_photon=jnp.zeros(B, bool))
+    ref = propagate(jnp.asarray(x), jnp.asarray(v), sc, cfg, species="axion",
+                    max_crossings=jnp.full(B, 8, jnp.int32), **args)
+    with pltpu.force_tpu_interpret_mode():
+        got = mk.propagate_mega(jnp.asarray(x), jnp.asarray(v), sc, cfg,
+                                max_crossings=8, species="axion", **args)
+    nc_ref = np.asarray(ref.n_cross)
+    nc_got = np.asarray(got.n_cross)
+    assert nc_ref.max() >= 2  # the construction exercises multi-crossing steps
+    np.testing.assert_array_equal(nc_ref, nc_got)
+    for b in range(B):
+        for s in range(int(nc_ref[b])):
+            rr = np.linalg.norm(np.asarray(ref.xc[b, s]))
+            rg = np.linalg.norm(np.asarray(got.xc[b, s]))
+            assert abs(rg - rr) / rr < 1e-3, (b, s, rr, rg)
