@@ -49,8 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
-    p.add_argument("--engine", choices=["auto", "pool", "mega"], default="auto",
-                   help="tree propagation engine; auto = megakernel on TPU")
+    p.add_argument("--engine", choices=["auto", "pool", "pool_compact", "mega"],
+                   default="auto",
+                   help="tree propagation engine; auto = megakernel on TPU, "
+                        "pool on CPU; pool_compact = pool with straggler-"
+                        "compacted backtrace")
     p.add_argument("--platform", type=str, default=None,
                    help="override JAX platform (cpu/tpu/axon)")
     p.add_argument("--mesh", type=int, default=0,

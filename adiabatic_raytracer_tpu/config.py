@@ -99,9 +99,11 @@ class NumericsConfig:
     # first-class performance control.  Set stall_window=0 to disable.
     stall_window: int = static_field(1024)
     stall_min_progress: Any = 1e-8
-    # Propagation engine: "pool" (XLA pool integrator, reference default) or
-    # "mega" (Pallas megakernel — TPU only; ops/megakernel.py).  Applies to
-    # the tree/backtrace propagations.
+    # Propagation engine for the tree/backtrace propagations: "pool" (XLA
+    # pool integrator, reference default), "mega" (Pallas megakernel — TPU
+    # only; ops/megakernel.py), or "pool_compact" (pool with the backtrace
+    # run through host-orchestrated straggler compaction,
+    # ops/streaming.CompactedPropagator; single-device driver only).
     engine: str = static_field("pool")
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the

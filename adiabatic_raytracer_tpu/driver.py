@@ -110,11 +110,15 @@ def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max,
     network round trip (~tens of ms), so per-field fetches dominate the
     host loop."""
 
+    # route the dense line scan through the fused Pallas kernel off-CPU
+    line_engine = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+
     def packed(k, b):
         res = sampler.sample_batch(k, b, maxR, sc, sc.mass_ns,
                                    n_grid=n_grid, n_max=n_max,
                                    flat_sampling=flat_sampling,
-                                   compute_dtype=cfg.compute_dtype)
+                                   compute_dtype=cfg.compute_dtype,
+                                   line_engine=line_engine)
         d = res.xpos.dtype
         return jnp.concatenate([
             res.success.astype(d)[:, None], res.xpos, res.v_loc,
@@ -128,12 +132,27 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
                     lnt_end, mesh_devices: int):
     """Jitted per-batch event pipeline (kinematics -> backtrace -> forward
     tree), optionally sharded over an event-axis device mesh; cached across
-    run() calls."""
+    run() calls.
 
-    def pipeline(keys, xpos, v_loc, erg_inf):
+    cfg.engine == "pool_compact" (single device only) runs the backtrace
+    propagation through the host-orchestrated straggler-compaction wrapper
+    (ops/streaming.CompactedPropagator) and everything else through the
+    jitted pool path."""
+    compact_bt = cfg.engine == "pool_compact" and mesh_devices <= 1
+    if cfg.engine == "pool_compact":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, engine="pool")
+
+    def pipeline(keys, xpos, v_loc, erg_inf, bt_res=None):
         k_init, sln_prob, cos_w, jac_v = _event_kinematics(
             xpos, v_loc, erg_inf, maxR, sc, tcfg, cfg.compute_dtype)
-        bt = tree.backtrace(xpos, k_init, erg_inf, sc, cfg, tcfg, lnt_end=lnt_end)
+        if bt_res is None:
+            bt = tree.backtrace(xpos, k_init, erg_inf, sc, cfg, tcfg,
+                                lnt_end=lnt_end)
+        else:
+            bt = tree.backtrace_from_result(xpos, -k_init, erg_inf, bt_res,
+                                            sc, cfg)
         tr = tree.forward_tree(keys, xpos, k_init, erg_inf, sc, cfg, tcfg,
                                lnt_end=lnt_end)
         # pack everything the saveMode<=1 row assembly needs into two arrays
@@ -158,7 +177,32 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
 
         mesh = make_mesh(mesh_devices)
         return jax.jit(shard_over_events(mesh, pipeline))
-    return jax.jit(pipeline)
+    if not compact_bt:
+        return jax.jit(pipeline)
+
+    # pool_compact: kinematics jitted, backtrace propagation through the
+    # chunked straggler-compaction engine, remainder jitted
+    import dataclasses as _dc
+
+    from adiabatic_raytracer_tpu.ops.streaming import CompactedPropagator
+
+    kin_jit = jax.jit(lambda x, v, e: _event_kinematics(
+        x, v, e, maxR, sc, tcfg, cfg.compute_dtype))
+    sc_b = _dc.replace(sc, b0=-sc.b0)
+    cp = CompactedPropagator(sc_b, cfg, species="axion")
+    rest_jit = jax.jit(pipeline)
+
+    def compact_pipeline(keys, xpos, v_loc, erg_inf):
+        E = xpos.shape[0]
+        k_init = kin_jit(xpos, v_loc, erg_inf)[0]
+        bt_res = cp.run(
+            xpos, -k_init, erg_inf, -jnp.ones(E, xpos.dtype),
+            jnp.full(E, cfg.ln_t_start, xpos.dtype),
+            jnp.full(E, lnt_end, xpos.dtype),
+            jnp.zeros(E, bool), jnp.full(E, cfg.max_crossings, jnp.int32))
+        return rest_jit(keys, xpos, v_loc, erg_inf, bt_res)
+
+    return compact_pipeline
 
 
 _keys_for = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(None, 0)))

@@ -93,25 +93,30 @@ def _accept_crossing(p_cart, erg_inf, sc: Scene, mass_ns):
     return (rr > sc.r_ns) & (erg_l > wp)
 
 
-def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
-               thick: bool = True, bisect_iters: int = 50, vmean: float = 220.0,
-               flat_sampling: bool = True, compute_dtype: str = "state"):
-    """Draw one conversion-surface sample (one event).  vmap over keys to batch.
-
-    Follows the reference's sampling measure (RayTracer.jl:1483-1542):
-    isotropic disk orientation, flat sampling of disk radius (sqrt(u) * maxR),
-    isotropic local velocity direction, v_infinity ~ (220 + 1e-5 u)/sqrt(3)
-    per component, line start offset -1.1 maxR, march length 2.2 maxR.
-    """
+def _cast_args(sc: Scene, mass_ns, maxR, compute_dtype: str):
     if compute_dtype == "f32":
         from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
 
-        dtype = jnp.float32
-        sc = _cast_tree(sc, jnp.float32)
-        mass_ns = jnp.float32(mass_ns)
-        maxR = jnp.float32(maxR)
-    else:
-        dtype = jnp.result_type(float)
+        return (_cast_tree(sc, jnp.float32), jnp.float32(mass_ns),
+                jnp.float32(maxR), jnp.float32)
+    return sc, mass_ns, maxR, jnp.result_type(float)
+
+
+class _Geometry(NamedTuple):
+    x0: Any         # line start (Cartesian)
+    vvec: Any       # line direction
+    vvec_loc: Any   # local velocity direction
+    erg_inf: Any
+    r_rnd: Any      # disk radius drawn
+    v_ifty: Any     # asymptotic velocity [km/s]
+    key_pick: Any   # subkey for the crossing-index draw
+
+
+def _draw_one(key, maxR, sc: Scene, vmean, flat_sampling: bool, dtype) -> _Geometry:
+    """Draw one event's sampling geometry (RayTracer.jl:1483-1542):
+    isotropic disk orientation, flat (or legacy 1/r) disk-radius measure,
+    isotropic local velocity direction, v_infinity ~ (220 + 1e-5 u)/sqrt(3)
+    per component, line start offset -1.1 maxR."""
     ks = jax.random.split(key, 8)
     u = [jax.random.uniform(ks[i], dtype=dtype) for i in range(6)]
     theta_i = jnp.arccos(1.0 - 2.0 * u[0])
@@ -143,19 +148,44 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
     v_ifty_mag = jnp.sqrt(jnp.sum(v_ifty**2))
     gamma_a = 1.0 / jnp.sqrt(1.0 - (v_ifty_mag / C_KM) ** 2)
     erg_inf = sc.mass_a * jnp.sqrt(1.0 + (v_ifty_mag / C_KM * gamma_a) ** 2)
+    return _Geometry(x0, vvec, vvec_loc, erg_inf, r_rnd, v_ifty, ks[7])
+
+
+def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
+               thick: bool = True, bisect_iters: int = 50, vmean: float = 220.0,
+               flat_sampling: bool = True, compute_dtype: str = "state"):
+    """Draw one conversion-surface sample (one event).  vmap over keys to batch.
+    See _draw_one for the sampling measure (RayTracer.jl:1483-1542)."""
+    sc, mass_ns, maxR, dtype = _cast_args(sc, mass_ns, maxR, compute_dtype)
+    geo = _draw_one(key, maxR, sc, vmean, flat_sampling, dtype)
 
     # --- dense scan of the condition along the line ---
     s_grid = jnp.linspace(0.0, 2.2 * maxR, n_grid).astype(dtype)
-    pts = x0[None, :] + s_grid[:, None] * vvec[None, :]
-    cond = lambda p: _line_condition(p, vvec_loc, erg_inf, sc, mass_ns, thick)
+    pts = geo.x0[None, :] + s_grid[:, None] * geo.vvec[None, :]
+    cond = lambda p: _line_condition(p, geo.vvec_loc, geo.erg_inf, sc, mass_ns, thick)
     g = jax.vmap(cond)(pts)
+    return _select_one(geo, g, s_grid, sc, mass_ns, thick=thick,
+                       n_max=n_max, bisect_iters=bisect_iters)
+
+
+def _select_one(geo: _Geometry, g, s_grid, sc: Scene, mass_ns, *,
+                thick: bool, n_max: int, bisect_iters: int) -> SampleResult:
+    """Root-refine the scanned condition values and draw a crossing
+    (find_samples_new affect!/selection, RayTracer.jl:1585-1647)."""
+    dtype = s_grid.dtype
+    x0, vvec, vvec_loc, erg_inf = geo.x0, geo.vvec, geo.vvec_loc, geo.erg_inf
+    n_grid = s_grid.shape[0]
+    cond = lambda p: _line_condition(p, vvec_loc, erg_inf, sc, mass_ns, thick)
 
     sign = jnp.sign(g)
     flips = sign[1:] * sign[:-1] < 0  # [n_grid-1]
     MAXC = MAX_LINE_CROSSINGS
 
-    # first MAXC flip intervals, in line order
-    slot_idx = jnp.nonzero(flips, size=MAXC, fill_value=n_grid - 2)[0].astype(jnp.int32)
+    # first MAXC flip intervals, in line order.  masked-iota + top_k instead
+    # of jnp.nonzero(size=...): bit-identical, but nonzero's scatter lowering
+    # is ~10x slower on TPU at production grid sizes
+    idx = jnp.arange(n_grid - 1, dtype=jnp.int32)
+    slot_idx = -lax.top_k(-jnp.where(flips, idx, n_grid - 2), MAXC)[0]
     has_root = jnp.arange(MAXC) < jnp.sum(flips)
 
     s_lo = s_grid[slot_idx]
@@ -178,13 +208,14 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
     n_accepted = jnp.sum(ok.astype(jnp.int32))
 
     # draw crossing index 1..n_max; succeed iff n_accepted >= draw
-    rand_inx = jax.random.randint(ks[7], (), 1, n_max + 1)
+    rand_inx = jax.random.randint(geo.key_pick, (), 1, n_max + 1)
     success = n_accepted >= rand_inx
     # position of the rand_inx-th accepted crossing (in line order)
     acc_order = jnp.cumsum(ok.astype(jnp.int32))
     pick = jnp.argmax((acc_order == rand_inx) & ok)
     xpos = p_star[pick]
 
+    v_ifty_mag = jnp.sqrt(jnp.sum(geo.v_ifty**2))
     rmag = jnp.sqrt(jnp.sum(xpos**2))
     vmag_loc = jnp.sqrt(v_ifty_mag**2 + 2.0 * G_NEW * mass_ns / rmag) / C_KM
     v_loc = vvec_loc * vmag_loc
@@ -192,26 +223,59 @@ def sample_one(key, maxR, sc: Scene, mass_ns, *, n_grid: int, n_max: int = 6,
     return SampleResult(
         success=success,
         xpos=xpos,
-        r_disk=r_rnd,
+        r_disk=geo.r_rnd,
         weight=n_accepted.astype(dtype),
         v_loc=v_loc,
-        v_ifty=v_ifty / C_KM,
+        v_ifty=geo.v_ifty / C_KM,
         erg_inf=erg_inf,
     )
 
 
 def sample_batch(key, batch: int, maxR, sc: Scene, mass_ns, *, n_grid: int,
                  n_max: int = 6, thick: bool = True, flat_sampling: bool = True,
-                 compute_dtype: str = "state"):
+                 compute_dtype: str = "state", line_engine: str = "xla"):
     """flat_sampling=False selects the legacy 1/r disk-radius measure of
     `find_samples` (RayTracer.jl:1656-1799) instead of the production flat
-    measure of `find_samples_new`."""
+    measure of `find_samples_new`.
+
+    line_engine="pallas" routes the dense line scan — the sampler's hot loop
+    (RayTracer.jl:1599-1613) — through the fused TPU kernel
+    (ops/pallas_kernels.line_scan_pallas); root refinement, acceptance and
+    selection stay in XLA.  Draw order and selection logic are identical to
+    the XLA path (roots may differ at f32-rounding level)."""
     keys = jax.random.split(key, batch)
+    if line_engine != "pallas" or not thick:
+        return jax.vmap(
+            lambda k: sample_one(k, maxR, sc, mass_ns, n_grid=n_grid, n_max=n_max,
+                                 thick=thick, flat_sampling=flat_sampling,
+                                 compute_dtype=compute_dtype)
+        )(keys)
+
+    from adiabatic_raytracer_tpu.ops.pallas_kernels import line_scan_pallas
+
+    sc_c, mass_c, maxR_c, dtype = _cast_args(sc, mass_ns, maxR, compute_dtype)
+    geos = jax.vmap(lambda k: _draw_one(k, maxR_c, sc_c, 220.0, flat_sampling,
+                                        dtype))(keys)
+    s_grid = jnp.linspace(0.0, 2.2 * maxR_c, n_grid).astype(dtype)
+
+    tile_b, tile_n = 8, 512
+    bp = ((batch + tile_b - 1) // tile_b) * tile_b
+    np_ = ((n_grid + tile_n - 1) // tile_n) * tile_n
+    # pad lines by repeating row 0 (valid geometry) and the s grid with its
+    # endpoint (constant tail -> no spurious sign flips); both are discarded
+    pad_b = lambda a: jnp.concatenate(
+        [a, jnp.broadcast_to(a[:1], (bp - batch,) + a.shape[1:])]) if bp != batch else a
+    s_pad = jnp.concatenate([s_grid, jnp.full(np_ - n_grid, s_grid[-1], dtype)])
+    # the kernel bakes the scene in as static f32 scalars -> pass the
+    # original (python-float) scene, not the traced _cast_args copy
+    g = line_scan_pallas(pad_b(geos.x0), pad_b(geos.vvec), pad_b(geos.vvec_loc),
+                         pad_b(geos.erg_inf), s_pad, sc, mass_ns,
+                         tile_b=tile_b, tile_n=tile_n)
+    g = g[:batch, :n_grid].astype(dtype)
     return jax.vmap(
-        lambda k: sample_one(k, maxR, sc, mass_ns, n_grid=n_grid, n_max=n_max,
-                             thick=thick, flat_sampling=flat_sampling,
-                             compute_dtype=compute_dtype)
-    )(keys)
+        lambda ge, gr: _select_one(ge, gr, s_grid, sc_c, mass_c,
+                                   thick=thick, n_max=n_max, bisect_iters=50)
+    )(geos, g)
 
 
 def default_n_grid(maxR: float, march_dt: float = 0.5, scan_per_step: int = 20) -> int:

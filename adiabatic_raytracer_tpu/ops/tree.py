@@ -86,8 +86,6 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     sc_b = _negate_b(sc)
     k_back = -k_init
 
-    prob0, p_nonad0 = _prob_batch(xpos, k_back, erg_inf, sc_b, cfg.compute_dtype)
-
     if cfg.engine == "mega":
         from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
@@ -112,6 +110,17 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             max_crossings=jnp.full(E, cfg.max_crossings, jnp.int32),
             species="axion",
         )
+    return backtrace_from_result(xpos, k_back, erg_inf, res, sc, cfg)
+
+
+def backtrace_from_result(xpos, k_back, erg_inf, res, sc: Scene,
+                          cfg: NumericsConfig) -> BacktraceResult:
+    """Post-process a backtrace PropagateResult (dedup, survival weights,
+    fallback, time re-zeroing).  Split out so host-orchestrated propagation
+    engines (ops/streaming.CompactedPropagator) can feed the same path."""
+    E = xpos.shape[0]
+    sc_b = _negate_b(sc)
+    prob0, p_nonad0 = _prob_batch(xpos, k_back, erg_inf, sc_b, cfg.compute_dtype)
 
     MAXC = cfg.max_crossings
     in_count = jnp.arange(MAXC)[None, :] < res.n_cross[:, None]

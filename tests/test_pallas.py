@@ -53,3 +53,30 @@ def test_line_scan_matches_reference():
     # sign structure identical away from roots => same crossing detection
     mask = np.abs(want) > 1e-3
     np.testing.assert_array_equal(np.sign(got[mask]), np.sign(want[mask]))
+
+
+def test_sample_batch_pallas_engine_matches_xla():
+    """The production sampler path (line_engine='pallas',
+    driver._build_sampler on TPU) draws the same events as the XLA path:
+    identical RNG stream, same crossing selection; positions agree to the
+    f32 root-refinement level."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sc = Scene(mass_a=1e-5, theta_m=0.2, omega_pul=1.0, b0=1e14, r_ns=10.0,
+               mass_ns=1.0)
+    key = jax.random.PRNGKey(42)
+    kw = dict(n_grid=768, n_max=6, compute_dtype="f32")
+    ref = sampler.sample_batch(key, 16, 25.0, sc, sc.mass_ns,
+                               line_engine="xla", **kw)
+    with pltpu.force_tpu_interpret_mode():
+        got = sampler.sample_batch(key, 16, 25.0, sc, sc.mass_ns,
+                                   line_engine="pallas", **kw)
+    s_ref = np.asarray(ref.success)
+    s_got = np.asarray(got.success)
+    np.testing.assert_array_equal(s_ref, s_got)
+    np.testing.assert_array_equal(np.asarray(ref.weight), np.asarray(got.weight))
+    ok = s_ref
+    np.testing.assert_allclose(np.asarray(got.xpos)[ok], np.asarray(ref.xpos)[ok],
+                               rtol=0, atol=2e-3)  # f32 grid-scan root noise (km)
+    # geometry draws are bit-identical (same key stream)
+    np.testing.assert_array_equal(np.asarray(ref.v_ifty), np.asarray(got.v_ifty))

@@ -49,3 +49,25 @@ def test_compacted_matches_monolithic():
     assert np.mean(np.abs(steps_got - steps_ref)) < 0.05 * steps_ref.mean()
     np.testing.assert_allclose(np.asarray(got.xc), np.asarray(ref.xc),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_driver_pool_compact_matches_pool(tmp_path):
+    """engine='pool_compact' (backtrace through CompactedPropagator) is a
+    production path: same rows as engine='pool' up to the compaction
+    fusion-boundary noise."""
+    from adiabatic_raytracer_tpu.config import TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+
+    sc = Scene(theta_m=0.2)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=2, max_nodes=8)
+    rows = {}
+    for eng in ("pool", "pool_compact"):
+        cfg = NumericsConfig(interp_points=8, max_crossings=8, engine=eng)
+        out = run(sc, cfg, tcfg, 3, seed=911, save_mode=1, verbose=False,
+                  dir_tag=str(tmp_path / eng), event_batch=2)
+        rows[eng] = out[0]
+    a, b = rows["pool"], rows["pool_compact"]
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a[:, 1], b[:, 1])    # species
+    np.testing.assert_array_equal(a[:, 21], b[:, 21])  # info
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-12)
