@@ -49,16 +49,17 @@ def analyze(path: str, num_bins: int = 50) -> FluxResult:
     n_mc = 0.0
     n_events = int(d["event_num"][-1]) if d["event_num"].size else 0
     if "info" in d:
+        # one info code per distinct event (the reference's first+last-row/2
+        # trick, flux.py:89-98, double-counts nothing only when every event
+        # has >= 1 final row; taking the first row per unique event id is
+        # exact regardless)
         ev = d["event_num"].astype(int)
-        # first+last row per event, halved — flux.py:89-98
-        flag1 = np.unique(ev, return_index=True)[1]
-        flag2 = -np.unique(np.flip(ev), return_index=True)[1] - 1
-        flag = np.append(flag1, flag2)
-        info = d["info"][flag].astype(int)
+        first_idx = np.unique(ev, return_index=True)[1]
+        info = d["info"][first_idx].astype(int)
         for code, name in [(1, "full_tree"), (2, "prob_cutoff"),
                            (3, "num_cutoff"), (4, "max_nodes")]:
-            stop[name] = float(np.sum(np.abs(info) == code) / 2)
-        n_mc = float(np.sum(info < 0) / 2)
+            stop[name] = float(np.sum(np.abs(info) == code))
+        n_mc = float(np.sum(info < 0))
 
     return FluxResult(
         phi_bins=bins,

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the event pipeline over an N-device mesh "
                         "(0/1 = single device); the on-device equivalent of "
                         "the reference's N-process fan-out")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="write a per-batch resume state (RNG key + event "
+                        "counter + partial rows) next to the output npy")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a killed run from its checkpoint")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -110,7 +117,9 @@ def main(argv=None) -> int:
             os.makedirs(os.path.join(args.dir_tag, sub), exist_ok=True)
         run(sc, cfg, tcfg, args.Nts, seed=args.seed, save_mode=args.saveMode,
             file_tag=args.ftag, dir_tag=args.dir_tag,
-            event_batch=args.event_batch, mesh_devices=args.mesh)
+            event_batch=args.event_batch, mesh_devices=args.mesh,
+            checkpoint=args.checkpoint, resume=args.resume,
+            profile_dir=args.profile_dir)
 
     if args.run_Combine == 1:
         out = combine_files(args.dir_tag, args.MassA, args.Axg, args.ThetaM,

@@ -13,7 +13,10 @@ output is divided by it at the end.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -54,6 +57,9 @@ class RunStats:
     t_fetch: float = 0.0
     t_rows: float = 0.0
     t_text: float = 0.0
+    # NS-velocity spherical decomposition (mag, theta, phi), computed-but-
+    # unused in the reference as well (MainRunner.jl:418-421)
+    vns: tuple = (0.0, 0.0, 0.0)
 
 
 def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
@@ -208,11 +214,72 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
 _keys_for = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(None, 0)))
 
 
+def vns_spherical(v_ns):
+    """Spherical decomposition of the NS velocity (MainRunner.jl:418-421).
+    Dead in the reference's production path too (its only consumer, the
+    vIfty shift at MainRunner.jl:497, is commented out) — provided for API
+    parity.  Returns (mag, theta, phi); theta/phi are 0 for a static NS."""
+    v = np.asarray(v_ns, np.float64)
+    mag = float(np.sqrt(np.sum(v**2)))
+    if mag > 0:
+        return mag, float(np.arccos(v[2] / mag)), float(np.arctan2(v[1], v[0]))
+    return mag, 0.0, 0.0
+
+
+def _ckpt_paths(out_path: str):
+    d, base = os.path.split(out_path)
+    return (os.path.join(d, f".ckpt_{base}.json"),
+            os.path.join(d, f".ckpt_{base}.partial.npy"))
+
+
+def _write_checkpoint(out_path: str, key, succ_rate, event_no, remaining,
+                      stats: RunStats, rows):
+    """Per-shard resume state: RNG key + event counter + accounting
+    (SURVEY.md §5 failure-recovery rebuild note).  The partial rows matrix
+    rides a sibling .npy; a killed run resumes exactly (same RNG stream)."""
+    jpath, npath = _ckpt_paths(out_path)
+    os.makedirs(os.path.dirname(jpath) or ".", exist_ok=True)
+    if rows:
+        np.save(npath, np.concatenate(rows, axis=0))
+    state = {
+        "key": np.asarray(key).tolist(),
+        "succ_rate": succ_rate,
+        "event_no": event_no,
+        "remaining": remaining,
+        "stats": {k: v for k, v in dataclasses.asdict(stats).items()
+                  if k != "info_hist"},
+        "info_hist": {str(k): v for k, v in stats.info_hist.items()},
+        "has_rows": bool(rows),
+    }
+    with open(jpath + ".tmp", "w") as f:
+        json.dump(state, f)
+    os.replace(jpath + ".tmp", jpath)
+
+
+def _load_checkpoint(out_path: str):
+    jpath, npath = _ckpt_paths(out_path)
+    if not os.path.exists(jpath):
+        return None
+    with open(jpath) as f:
+        state = json.load(f)
+    rows = [np.load(npath)] if state.get("has_rows") and os.path.exists(npath) else []
+    return state, rows
+
+
+def _clear_checkpoint(out_path: str):
+    for p in _ckpt_paths(out_path):
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         seed: int = -1, save_mode: int = 0, file_tag: str = "",
         dir_tag: str = "results", event_batch: int = 16,
         fix_time: float = 0.0, ntimes: int = 3,
-        verbose: bool = True, mesh_devices: int = 0) -> Optional[tuple]:
+        verbose: bool = True, mesh_devices: int = 0,
+        checkpoint: bool = False, resume: bool = False,
+        max_batches: Optional[int] = None,
+        profile_dir: Optional[str] = None) -> Optional[tuple]:
     """Run the full pipeline; returns (saveAll rows ndarray, output path, stats).
 
     mesh_devices > 1 shards the jitted pipeline (kinematics -> backtrace ->
@@ -221,6 +288,14 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     Per-event RNG keys are derived from the *global* event number, so a
     sharded run produces the same rows as a single-device run at the same
     seed and batching.
+
+    checkpoint=True writes a per-shard resume state (RNG key, event counter,
+    accounting, partial rows) next to the output file after every batch;
+    resume=True continues a killed run from that state with the identical RNG
+    stream (SURVEY.md §5 failure-recovery note).  max_batches stops early
+    (checkpoint left in place; the final npy with its f_inx normalization is
+    only written on completion).  profile_dir enables a jax.profiler trace of
+    the run (the reference's wall-clock instrumentation, upgraded).
 
     Returns None when the conversion surface lies inside the star
     (MainRunner.jl:389-396)."""
@@ -232,9 +307,6 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         stats.seed = int(np.random.SeedSequence().entropy % (2**31))
     else:
         stats.seed = seed
-    if verbose:
-        print(f"Using seed {stats.seed}")
-    key = jax.random.PRNGKey(stats.seed)
 
     maxR = float(conversion_surface_radius(sc.mass_a, sc.theta_m, sc.omega_pul,
                                            sc.b0, sc.r_ns, t_in=fix_time))
@@ -245,6 +317,30 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     lnt_end = float(np.log(1.0 / float(sc.omega_pul)))
     n_grid = sampler.default_n_grid(maxR)
     n_max = tcfg.n_max_sample
+    out_path = tree_filename(dir_tag, sc.mass_a, sc.ax_g, sc.theta_m, sc.omega_pul,
+                             sc.b0, n_trajs, ntimes, tcfg.num_cutoff,
+                             tcfg.mc_nodes, tcfg.max_nodes, file_tag)
+
+    rows: list = []
+    event_no = 1
+    remaining = n_trajs - 1  # the reference loop runs while photon_trajs < Ntajs
+    succ_rate = 0.25  # adaptive sampler-success estimate
+    key = jax.random.PRNGKey(stats.seed)
+
+    ck = _load_checkpoint(out_path) if resume else None
+    if ck is not None:
+        state, rows = ck
+        key = jnp.asarray(np.array(state["key"], np.uint32))
+        succ_rate = state["succ_rate"]
+        event_no = state["event_no"]
+        remaining = state["remaining"]
+        for k, v in state["stats"].items():
+            setattr(stats, k, v)
+        stats.info_hist = {int(k): v for k, v in state["info_hist"].items()}
+        if verbose:
+            print(f"Resuming at event {event_no} ({remaining} remaining)")
+    if verbose:
+        print(f"Using seed {stats.seed}")
 
     sample_jit = _build_sampler(sc, cfg, maxR, n_grid, n_max,
                                 tcfg.flat_sampling)
@@ -252,15 +348,14 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                                    int(mesh_devices or 0))
     pad_to = mesh_devices if mesh_devices and mesh_devices > 1 else 1
     base_key = jax.random.PRNGKey(stats.seed)
+    stats.vns = vns_spherical(sc.v_ns)
 
-    ev_files = EventFiles(dir_tag, file_tag) if save_mode > 1 else None
+    ev_files = (EventFiles(dir_tag, file_tag, append=ck is not None)
+                if save_mode > 1 else None)
 
-    rows: list = []
-    event_no = 1
-    remaining = n_trajs - 1  # the reference loop runs while photon_trajs < Ntajs
-
-    succ_rate = 0.25  # adaptive sampler-success estimate
-
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    batches_done = 0
     while remaining > 0:
         batch = min(event_batch, remaining)
         # --- sampling with attempt accounting ---
@@ -437,15 +532,29 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         event_no += batch
         stats.events += batch
         remaining -= batch
+        batches_done += 1
+        if checkpoint:
+            _write_checkpoint(out_path, key, succ_rate, event_no, remaining,
+                              stats, rows)
+        if max_batches is not None and batches_done >= max_batches and remaining > 0:
+            if verbose:
+                print(f"Stopping after {batches_done} batches "
+                      f"({remaining} events remaining; checkpoint "
+                      f"{'written' if checkpoint else 'NOT written'})")
+            break
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     save_all = (np.concatenate(rows, axis=0).astype(np.float64) if rows
                 else np.zeros((0,)))  # empty-run shape matches np.asarray([])
+    if remaining > 0:  # early stop: partial rows, no final normalization/npy
+        stats.wall_time = time.time() - t_run0
+        return save_all, out_path, stats
     if save_all.size:
         save_all[:, 7] /= float(stats.f_inx) if stats.f_inx else 1.0
-    out_path = tree_filename(dir_tag, sc.mass_a, sc.ax_g, sc.theta_m, sc.omega_pul,
-                             sc.b0, n_trajs, ntimes, tcfg.num_cutoff,
-                             tcfg.mc_nodes, tcfg.max_nodes, file_tag)
     save_npy(out_path, save_all)
+    _clear_checkpoint(out_path)
     stats.wall_time = time.time() - t_run0
     if verbose:
         print(f"events={stats.events} finals={stats.finals} f_inx={stats.f_inx} "

@@ -24,13 +24,14 @@ def _jstr(x) -> str:
 class EventFiles:
     """Append-mode event_/final_ writers (saveMode > 1)."""
 
-    def __init__(self, dir_tag: str, file_tag: str):
+    def __init__(self, dir_tag: str, file_tag: str, append: bool = False):
         os.makedirs(os.path.join(dir_tag, "event"), exist_ok=True)
         self.final_path = os.path.join(dir_tag, "event", "final_" + file_tag)
         self.event_path = os.path.join(dir_tag, "event", "event_" + file_tag)
-        # truncate at run start (MainRunner.jl:435-444)
-        open(self.final_path, "w").close()
-        open(self.event_path, "w").close()
+        if not append:  # truncate at run start (MainRunner.jl:435-444);
+            # append=True preserves the streams across a checkpoint resume
+            open(self.final_path, "w").close()
+            open(self.event_path, "w").close()
 
     def write_event_head(self, event_no: int, v_ifty, sln_prob, nb_x, nb_k,
                          xpos, k_init):
