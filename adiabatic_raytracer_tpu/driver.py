@@ -163,20 +163,17 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
                                lnt_end=lnt_end)
         # pack everything the saveMode<=1 row assembly needs into two arrays
         # so the host does TWO device fetches per batch, not ~45 (each fetch
-        # is a network round trip on a tunneled TPU)
+        # is a network round trip on a tunneled TPU); the final nodes are
+        # compacted on device ([E, F, 14], F ~ num_cutoff) instead of
+        # shipping the full [E, P, 16] pools (~10x the bytes)
         d = xpos.dtype
-        pl = tr.pools
         one = lambda a: a.astype(d)[..., None]
-        pool_pack = jnp.concatenate([
-            one(pl.status), one(pl.is_final), one(pl.order), one(pl.ferg),
-            one(pl.weight), one(pl.prob), one(pl.prob_conv),
-            one(pl.prob_conv0), one(pl.is_photon), one(pl.t),
-            pl.fpos, pl.fmom], axis=-1)                       # [E, P, 16]
+        fin_pack = tree.compact_finals(tr.pools, tree.max_finals(tcfg))
         ev_pack = jnp.concatenate([
             sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
             one(tr.dw_anomalies), bt.samp_back_weight[:, None],
             bt.prob0[:, None], one(bt.c_bck), k_init], axis=1)  # [E, 11]
-        return pool_pack, ev_pack, bt, tr
+        return fin_pack, ev_pack, bt, tr
 
     if mesh_devices > 1:
         from adiabatic_raytracer_tpu.parallel.mesh import make_mesh, shard_over_events
@@ -355,10 +352,25 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
+
+    # --- software-pipelined batch loop ---
+    # Batch i+1 is sampled and its pipeline DISPATCHED before batch i's
+    # outputs are fetched/assembled: on a tunneled TPU the fetch is a network
+    # transfer that overlaps the next batch's device compute for free.
+    # Checkpoint exactness is preserved by carrying, per batch, the RNG/
+    # sampler-rate state as of the end of ITS OWN sampling and by applying
+    # its sampling accounting to stats only at assembly time — a checkpoint
+    # written after assembling batch i therefore restores exactly the stream
+    # that sampling batch i+1 consumed.
     batches_done = 0
-    while remaining > 0:
-        batch = min(event_batch, remaining)
-        # --- sampling with attempt accounting ---
+    batches_issued = 0
+    issue_event_no = event_no
+    issue_remaining = remaining
+
+    def issue_batch():
+        """Sample one batch (host loop) and dispatch its device pipeline."""
+        nonlocal key, succ_rate, issue_event_no, issue_remaining, batches_issued
+        batch = min(event_batch, issue_remaining)
         # oversample so one jitted call usually covers the batch; batch sizes
         # are power-of-2 quantized to bound sampler recompiles
         t_s0 = time.time()
@@ -378,19 +390,17 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         flag_stream = np.concatenate(flags)
         kept_pos = np.nonzero(flag_stream)[0][:batch]
         attempts = int(kept_pos[-1]) + 1
-        stats.sample_attempts += attempts
-        stats.f_inx += attempts - batch  # failures (MainRunner.jl:469,477)
 
         # integration state stays f64 even when the sampler computed in f32
         samp = np.concatenate(xs, axis=0).astype(np.float64)
         xpos, v_loc, erg_inf, v_ifty = (samp[:, 0:3], samp[:, 3:6],
                                         samp[:, 6], samp[:, 7:10])
-        stats.t_sample += time.time() - t_s0
+        t_sample = time.time() - t_s0
 
         # pad the batch up to a mesh-divisible size (outputs discarded);
         # RNG keys come from the *global* event number -> mesh-invariant
         bp = ((batch + pad_to - 1) // pad_to) * pad_to
-        gidx = np.arange(bp, dtype=np.int64) + event_no
+        gidx = np.arange(bp, dtype=np.int64) + issue_event_no
 
         def pad(a):
             if bp == batch:
@@ -398,24 +408,48 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
             reps = [a[-1:]] * (bp - batch)
             return np.concatenate([a] + reps, axis=0)
 
-        t_batch0 = time.time()
+        t_d0 = time.time()
         keys = _keys_for(base_key, jnp.asarray(gidx))
-        pool_pack, ev_pack, bt, tr = pipeline_jit(
+        handles = pipeline_jit(
             keys, jnp.asarray(pad(xpos)), jnp.asarray(pad(v_loc)),
             jnp.asarray(pad(erg_inf)))
-        jax.block_until_ready(pool_pack)
+        rec = {
+            "batch": batch, "event_no": issue_event_no, "handles": handles,
+            "xpos": xpos, "v_ifty": v_ifty, "attempts": attempts,
+            "t_sample": t_sample, "t_dispatch": t_d0,
+            # resume state as of the end of this batch's sampling
+            "rng_after": (np.asarray(key).copy(), succ_rate),
+        }
+        issue_event_no += batch
+        issue_remaining -= batch
+        batches_issued += 1
+        return rec
+
+    def assemble(rec):
+        """Fetch one in-flight batch, assemble its rows, write text streams,
+        apply its (deferred) sampling accounting, checkpoint."""
+        nonlocal event_no, remaining, batches_done
+        batch = rec["batch"]
+        xpos, v_ifty = rec["xpos"], rec["v_ifty"]
+        assert rec["event_no"] == event_no
+        stats.sample_attempts += rec["attempts"]
+        stats.f_inx += rec["attempts"] - batch  # failures (MainRunner.jl:469,477)
+        stats.t_sample += rec["t_sample"]
+
+        fin_pack, ev_pack, bt, tr = rec["handles"]
+        jax.block_until_ready(fin_pack)
         t_f0 = time.time()
-        stats.t_pipeline += t_f0 - t_batch0
-        pp = np.asarray(pool_pack)[:batch]              # [E, P, 16], one fetch
+        stats.t_pipeline += t_f0 - rec["t_dispatch"]
+        fp = np.asarray(fin_pack)[:batch]               # [E, F, 14], one fetch
         evp = np.asarray(ev_pack)[:batch]               # [E, 11], one fetch
         stats.t_fetch += time.time() - t_f0
-        t_batch = time.time() - t_batch0
+        t_batch = time.time() - rec["t_dispatch"]
 
         t_r0 = time.time()
-        (p_status, p_final, p_order, p_ferg, p_weight, p_prob, p_prob_conv,
-         p_prob_conv0, p_is_ph, p_t) = (pp[..., i] for i in range(10))
-        p_fpos = pp[..., 10:13]
-        p_fmom = pp[..., 13:16]
+        (f_valid, f_is_ph, f_ferg, f_weight, f_prob, f_prob_conv,
+         f_prob_conv0, f_t) = (fp[..., i] for i in range(8))
+        f_fpos = fp[..., 8:11]
+        f_fmom = fp[..., 11:14]
         sln_np = evp[:, 0]
         cosw_np = evp[:, 1]
         count_np = evp[:, 2].astype(np.int64)
@@ -434,26 +468,25 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         for iv, cnt in zip(*np.unique(info_np, return_counts=True)):
             stats.info_hist[int(iv)] = stats.info_hist.get(int(iv), 0) + int(cnt)
 
-        fin = (p_status == 2.0) & (p_final > 0.5)                      # [E, P]
-        e_ids, p_ids = np.nonzero(fin)
-        o = np.lexsort((p_order[e_ids, p_ids], e_ids))  # per-event proc order
-        e_ids, p_ids = e_ids[o], p_ids[o]
+        # finals arrive compacted and per-event processing-ordered from the
+        # device (tree.compact_finals), so nonzero order is already right
+        e_ids, p_ids = np.nonzero(f_valid > 0.5)                       # [E, F]
         nfin = len(e_ids)
-        fmom = p_fmom[e_ids, p_ids]
-        fpos = p_fpos[e_ids, p_ids]
+        fmom = f_fmom[e_ids, p_ids]
+        fpos = f_fpos[e_ids, p_ids]
         absf = np.linalg.norm(fmom, axis=1)
         absfx = np.linalg.norm(fpos, axis=1)
         phi_f = np.arctan2(fmom[:, 1], fmom[:, 0])
         phi_fx = np.arctan2(fpos[:, 1], fpos[:, 0])
         theta_f = np.arccos(fmom[:, 2] / absf)
         theta_fx = np.arccos(fpos[:, 2] / absfx)
-        species_id = p_is_ph[e_ids, p_ids]
+        species_id = f_is_ph[e_ids, p_ids]
         sbw = sbw_ev[e_ids]
-        weight = p_weight[e_ids, p_ids] * sbw            # MainRunner.jl:686
+        weight = f_weight[e_ids, p_ids] * sbw            # MainRunner.jl:686
         optical_depth = np.zeros(nfin)
         weight_c = np.ones(nfin)
         weight_tmp = weight * (weight_c**2 * np.exp(-optical_depth))
-        dw_out = p_ferg[e_ids, p_ids] / float(sc.mass_a) + vel_eng[e_ids]
+        dw_out = f_ferg[e_ids, p_ids] / float(sc.mass_a) + vel_eng[e_ids]
         ev_col = (event_no + e_ids).astype(np.float64)
         base = np.stack([
             ev_col, species_id, theta_f, phi_f, theta_fx, phi_fx, absfx,
@@ -465,8 +498,8 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                 k_init_np[e_ids, 0], k_init_np[e_ids, 1], k_init_np[e_ids, 2],
                 cosw_np[e_ids], count_np[e_ids].astype(np.float64),
                 info_np[e_ids].astype(np.float64),
-                p_prob[e_ids, p_ids], p_prob_conv[e_ids, p_ids],
-                p_prob_conv0[e_ids, p_ids], sbw, absfx,
+                f_prob[e_ids, p_ids], f_prob_conv[e_ids, p_ids],
+                f_prob_conv0[e_ids, p_ids], sbw, absfx,
                 bt_c_bck[e_ids].astype(np.float64), bt_prob0[e_ids]],
                 axis=1)
             base = np.concatenate([base, extra], axis=1)
@@ -525,7 +558,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                         en, float(weight[j]), int(species_id[j]),
                         float(theta_f[j]), float(phi_f[j]), float(absf[j]),
                         float(theta_fx[j]), float(phi_fx[j]), float(absfx[j]),
-                        float(p_t[e_ids[j], p_ids[j]]))
+                        float(f_t[e_ids[j], p_ids[j]]))
                 ev_files.write_event_tail(t_batch / batch, int(count_np[e]))
             stats.t_text += time.time() - t_t0
 
@@ -534,9 +567,20 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         remaining -= batch
         batches_done += 1
         if checkpoint:
-            _write_checkpoint(out_path, key, succ_rate, event_no, remaining,
+            ck_key, ck_rate = rec["rng_after"]
+            _write_checkpoint(out_path, ck_key, ck_rate, event_no, remaining,
                               stats, rows)
-        if max_batches is not None and batches_done >= max_batches and remaining > 0:
+
+    pending = None
+    while issue_remaining > 0 or pending is not None:
+        nxt = None
+        if issue_remaining > 0 and (max_batches is None
+                                    or batches_issued < max_batches):
+            nxt = issue_batch()
+        if pending is not None:
+            assemble(pending)
+        pending = nxt
+        if pending is None and issue_remaining > 0:  # max_batches early stop
             if verbose:
                 print(f"Stopping after {batches_done} batches "
                       f"({remaining} events remaining; checkpoint "

@@ -522,6 +522,45 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
                       dw_anomalies=out.dw_anom)
 
 
+def max_finals(tcfg: TreeConfig) -> int:
+    """Tight static bound on finals per event: count_main is checked against
+    num_cutoff once per iteration and each iteration adds at most K-1 finals
+    past the check (K = mc_nodes + 2 work-queue lanes), so
+    finals <= num_cutoff - 1 + K = num_cutoff + mc_nodes + 1."""
+    return int(min(2 * tcfg.max_nodes + 4, tcfg.num_cutoff + tcfg.mc_nodes + 1))
+
+
+def compact_finals(pools: TreePools, F: int):
+    """Device-side compaction of the final nodes into a dense [E, F, 14] pack.
+
+    The driver's saveMode<=1 row assembly needs only the final nodes
+    (MainRunner.jl:670-729) — a handful per event — but the pools hold
+    P = 2*max_nodes + 4 slots.  On a tunneled TPU the device->host fetch is
+    bandwidth-bound (~15 MB/s), so shipping [E, P, 16] is ~10x more bytes
+    than the finals themselves.  This gathers, per event, the first F final
+    nodes in processing order (lax.top_k on negated order — jnp.nonzero
+    lowers to a slow scatter on TPU) and packs the row-assembly fields:
+
+      [valid, is_photon, ferg, weight, prob, prob_conv, prob_conv0, t,
+       fpos(3), fmom(3)]
+
+    F must be >= max_finals(tcfg) or finals are silently dropped."""
+    d = pools.pos.dtype
+    E = pools.pos.shape[0]
+    final = (pools.status == 2) & pools.is_final
+    fkey = jnp.where(final, -pools.order.astype(d), -jnp.inf)
+    top, idx = lax.top_k(fkey, F)              # ascending processing order
+    valid = jnp.isfinite(top)
+    eF = jnp.arange(E)[:, None]
+    g = lambda a: a[eF, idx]
+    one = lambda a: g(a).astype(d)[..., None]
+    return jnp.concatenate([
+        valid.astype(d)[..., None], one(pools.is_photon), one(pools.ferg),
+        one(pools.weight), one(pools.prob), one(pools.prob_conv),
+        one(pools.prob_conv0), one(pools.t), g(pools.fpos), g(pools.fmom),
+    ], axis=-1)
+
+
 def print_tree(result: TreeResult, event: int = 0):
     """Debug dump of one event's tree (printTree, MainRunner.jl:6-15)."""
     import numpy as np

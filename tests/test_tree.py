@@ -80,3 +80,31 @@ def test_forward_tree_finals_exist():
     # final positions are far from the star
     fpos = np.asarray(out.pools.fpos)[finals]
     assert np.all(np.linalg.norm(fpos, axis=1) > SC.r_ns * 1.1)
+
+
+def test_compact_finals_matches_pools():
+    """compact_finals (the device-side [E,F,14] pack the driver fetches)
+    reproduces the host-side final extraction: same nodes, same per-event
+    processing order, same field values."""
+    x, k_init, erg = _events(3)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=3, max_nodes=8)
+    out = tree.forward_tree(jax.random.PRNGKey(8), x, k_init, erg, SC, CFG, tcfg,
+                            lnt_end=0.0)
+    F = tree.max_finals(tcfg)
+    fp = np.asarray(tree.compact_finals(out.pools, F))
+    pl = out.pools
+    fin = np.asarray(pl.is_final) & (np.asarray(pl.status) == 2)
+    order = np.asarray(pl.order)
+    assert fin.sum() >= 1
+    for e in range(fin.shape[0]):
+        p_ids = np.nonzero(fin[e])[0]
+        p_ids = p_ids[np.argsort(order[e, p_ids], kind="stable")]
+        valid = fp[e, :, 0] > 0.5
+        assert valid.sum() == len(p_ids)
+        assert not np.any(valid[len(p_ids):])  # valid slots are a prefix
+        for j, p in enumerate(p_ids):
+            np.testing.assert_allclose(fp[e, j, 1], float(np.asarray(pl.is_photon)[e, p]))
+            np.testing.assert_allclose(fp[e, j, 2], np.asarray(pl.ferg)[e, p], rtol=1e-12)
+            np.testing.assert_allclose(fp[e, j, 3], np.asarray(pl.weight)[e, p], rtol=1e-12)
+            np.testing.assert_allclose(fp[e, j, 8:11], np.asarray(pl.fpos)[e, p], rtol=1e-12)
+            np.testing.assert_allclose(fp[e, j, 11:14], np.asarray(pl.fmom)[e, p], rtol=1e-12)
