@@ -105,6 +105,13 @@ class NumericsConfig:
     # run through host-orchestrated straggler compaction,
     # ops/streaming.CompactedPropagator; single-device driver only).
     engine: str = static_field("pool")
+    # Work-queue launch width of the forward tree engine (ops/tree.py):
+    # each iteration propagates only the W globally heaviest pending lanes
+    # of the [E, K] lane grid (the grid is mostly inert — median pending per
+    # event is ~1 — but a lockstep launch pays per 128-lane tile).
+    # 0 = auto: 2*E rounded up to a tile, never below 128.  Set to a large
+    # value to disable compaction (launch all E*K lanes).
+    tree_queue_width: int = static_field(0)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

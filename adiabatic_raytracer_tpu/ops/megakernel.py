@@ -7,8 +7,9 @@ B <= 8k), and its lockstep spans the whole batch.  This kernel keeps a tile of
   * per-iteration cost is pure VPU arithmetic (~8 kflops/ray/step);
   * lockstep shrinks from the whole batch to one tile (straggler waste is
     bounded per 1024 rays, and tiles run independently across the grid);
-  * physics gradients are 7 directional `jax.jvp` passes of a block-wise
-    Hamiltonian — forward-mode, f32-exact on the VPU (no trig: the dipole
+  * physics gradients are ONE reverse-mode `jax.vjp` pass of a block-wise
+    nondimensionalized Hamiltonian (B/|b0|, k/mass_a — O(1) intermediates
+    make f32 reverse-mode exact; raw scales lose ~5 digits), f32 on the VPU (no trig: the dipole
     azimuthal factors come from Cartesian ratios and the rotation phase
     cos/sin(omega*t) from the same Cody–Waite pattern would be needed only
     for t-dependence; here the *time* dependence enters via psi = phi -
@@ -162,6 +163,19 @@ class SceneConsts:
         self.stall_window = int(cfg.stall_window)
         self.stall_min = float(cfg.stall_min_progress)
         self.species = "photon"  # overridden by integrate_mega
+        # Nondimensionalization for the reverse-mode RHS (see _rhs): B in
+        # units of |b0|, momenta/energies in units of mass_a, H in units of
+        # mass_a^2.  wp2_scale = wp^2/(mass_a^2 |b_z/b0|) is O(10), so every
+        # intermediate of the scaled Hamiltonian is O(1) and a single f32
+        # vjp reproduces the f64 forward-mode gradients to ~2e-7 median
+        # (raw-scale f32 reverse-mode is ~1e-2 — B-scale cancellation).
+        self.b0_sign = 1.0 if self.b0 >= 0 else -1.0
+        self.wp2_scale = (
+            4.0 * math.pi / (INV_ALPHA * M_E_EV)
+            * (2.0 * abs(self.omega * self.b0) / SQRT_4PI_ALPHA
+               * GAUSS_TO_EV2 * HBAR)
+            / self.mass_a**2
+        )
 
 
 def _metric(C, r, sin_th):
@@ -200,25 +214,46 @@ def _omega_p(C, br, btheta, cz, sin_th, r, zero_in=True):
     return wp
 
 
-def _hamiltonian(C, x1, x2, x3, k1, k2, k3, time, erg):
-    """Melrose photon Hamiltonian on blocks; x = (r, theta, phi) with theta
-    entering only through sin/cos (computed via _sincos), k covariant."""
+def _hamiltonian_nd(C, x1, x2, x3, kt1, kt2, kt3, time, ergt):
+    """Nondimensionalized Melrose Hamiltonian: inputs kt = k/mass_a,
+    ergt = erg/mass_a; B internally in units of |b0|; returns H/mass_a^2.
+    Value-identical (up to rounding) to the canonical unscaled form
+    (ops/dispersion.py:hamiltonian_photon, RayTracer.jl:550-551); every
+    intermediate is O(1), which is what makes the single-vjp reverse-mode
+    f32 gradient in _rhs accurate (raw-scale f32 reverse-mode loses ~5
+    digits through the B-field chain)."""
     r = jnp.maximum(x1, C.r_ns)
     s_th, c_th = _sincos(x2)
     s_ph, c_ph = _sincos(x3)
     g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th)
-    br, btheta, bphi = _dipole(C, r, c_th, s_th, c_ph, s_ph, time)
-    wp = _omega_p(C, br, btheta, c_th, s_th, r)
-    ksqr = g_tt * erg**2 + g_rr * k1**2 + g_thth * k2**2 + g_pp * k3**2
+    swt, cwt = _sincos(C.omega * time)
+    cp = c_ph * cwt + s_ph * swt
+    sp = s_ph * cwt - c_ph * swt
+    bn = C.b0_sign * (C.r_ns / r) ** 3 * 0.5
+    br = 2.0 * bn * (C.cm * c_th + C.sm * s_th * cp)
+    btheta = bn * (C.cm * s_th - C.sm * c_th * cp)
+    bphi = bn * C.sm * sp
+    bz = br * c_th - btheta * s_th
+    wp2t = C.wp2_scale * jnp.abs(bz)
+    wp2t = jnp.where(r <= C.r_ns, 0.0, wp2t)
+    ksqr = g_tt * ergt**2 + g_rr * kt1**2 + g_thth * kt2**2 + g_pp * kt3**2
     if C.isotropic:
-        return 0.5 * (ksqr + wp**2)
+        return 0.5 * (ksqr + wp2t)
     bl_r = br / jnp.sqrt(g_rr)
     bl_t = btheta / jnp.sqrt(g_thth)
     bl_p = bphi / jnp.sqrt(g_pp)
     bmag = jnp.sqrt(g_rr * bl_r**2 + g_thth * bl_t**2 + g_pp * bl_p**2)
-    kp = (g_rr * k1 * bl_r + g_thth * k2 * bl_t + g_pp * k3 * bl_p) / bmag
-    e2 = erg**2 / g_rr
-    return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2)
+    kp = (g_rr * kt1 * bl_r + g_thth * kt2 * bl_t + g_pp * kt3 * bl_p) / bmag
+    e2 = ergt**2 / g_rr
+    return 0.5 * (ksqr + wp2t * (e2 - kp**2) / e2)
+
+
+def _ham_axion_nd(C, x1, x2, x3, kt1, kt2, kt3, ergt):
+    """Axion Hamiltonian in the same H/mass_a^2 units as _hamiltonian_nd."""
+    s_th, _ = _sincos(x2)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, x1, s_th)
+    return 0.5 * (g_tt * ergt**2 + g_rr * kt1**2 + g_thth * kt2**2
+                  + g_pp * kt3**2)
 
 
 def _condition(C, u, lnt):
@@ -247,53 +282,47 @@ def _condition(C, u, lnt):
     return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / e7**2
 
 
-def _ham_axion(C, x1, x2, x3, k1, k2, k3, erg):
-    """Axion Hamiltonian H = ksqr/2 (ops/dispersion.py:hamiltonian_axion)."""
-    s_th, _ = _sincos(x2)
-    g_tt, g_rr, g_thth, g_pp = _metric(C, x1, s_th)
-    return 0.5 * (g_tt * erg**2 + g_rr * k1**2 + g_thth * k2**2 + g_pp * k3**2)
-
-
 def _rhs(C, u, lnt, erg, is_ph):
-    """Mixed-species Hamilton equations via 7 directional jvp passes
-    (ops/propagate.py:make_rhs).  is_ph: f32 mask (1 photon / 0 axion)."""
+    """Mixed-species Hamilton equations via ONE reverse-mode vjp of the
+    nondimensionalized Hamiltonian (ops/propagate.py:make_rhs).  All 7
+    gradients (x, k, t) come out of a single backward pass that shares the
+    primal chain — ~4x fewer flops than the previous 7 directional jvp
+    passes.  Raw-scale f32 reverse-mode loses ~5 digits through the B-field
+    chain; with B/|b0|, k/mass_a, H/mass_a^2 scaling every intermediate is
+    O(1) and the result matches the f64 forward reference to ~2e-7 median.
+    is_ph: f32 mask (1 photon / 0 axion)."""
     x1, x2, x3, w1, w2, w3, e7 = u
     t = _exp32(lnt)
     time = t  # time0 = 0
-    k1, k2, k3 = w1 * erg, w2 * erg, w3 * erg
+    inv_ma = 1.0 / C.mass_a
+    kt1 = w1 * (erg * inv_ma)
+    kt2 = w2 * (erg * inv_ma)
+    kt3 = w3 * (erg * inv_ma)
     r = jnp.maximum(x1, C.r_ns)
     s_th, _ = _sincos(x2)
     _, g_rr, _, _ = _metric(C, r, s_th)
     photon = is_ph > 0.5
+    ergt_ph = -e7 * inv_ma
+    ergt_ax = erg * inv_ma
 
     if C.species == "photon":
-        def h6(a1, a2, a3, b1, b2, b3):
-            return _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
+        def h7(a1, a2, a3, b1, b2, b3, tt):
+            return _hamiltonian_nd(C, a1, a2, a3, b1, b2, b3, tt, ergt_ph)
     elif C.species == "axion":
-        def h6(a1, a2, a3, b1, b2, b3):
-            return _ham_axion(C, a1, a2, a3, b1, b2, b3, erg)
+        def h7(a1, a2, a3, b1, b2, b3, tt):
+            return _ham_axion_nd(C, a1, a2, a3, b1, b2, b3, ergt_ax)
     else:
-        def h6(a1, a2, a3, b1, b2, b3):
-            hp = _hamiltonian(C, a1, a2, a3, b1, b2, b3, time, -e7)
-            ha = _ham_axion(C, a1, a2, a3, b1, b2, b3, erg)
+        def h7(a1, a2, a3, b1, b2, b3, tt):
+            hp = _hamiltonian_nd(C, a1, a2, a3, b1, b2, b3, tt, ergt_ph)
+            ha = _ham_axion_nd(C, a1, a2, a3, b1, b2, b3, ergt_ax)
             return jnp.where(photon, hp, ha)
 
-    prim = (x1, x2, x3, k1, k2, k3)
-    zeros = jnp.zeros_like(x1)
-    ones = jnp.ones_like(x1)
-    grads = []
-    for i in range(6):
-        tang = tuple(ones if j == i else zeros for j in range(6))
-        _, dh = jax.jvp(h6, prim, tang)
-        grads.append(dh)
-    dh_x = grads[0:3]
-    dh_k = grads[3:6]
-    if C.species == "axion":
-        dh_t = zeros
-    else:
-        _, dh_t = jax.jvp(
-            lambda tt: _hamiltonian(C, x1, x2, x3, k1, k2, k3, tt, -e7),
-            (time,), (ones,))
+    out, vjp_fn = jax.vjp(h7, x1, x2, x3, kt1, kt2, kt3, time)
+    g = vjp_fn(jnp.ones_like(out))
+    ma2 = C.mass_a * C.mass_a
+    dh_x = tuple(gi * ma2 for gi in g[0:3])       # dH/dx  = ma^2 dH~/dx
+    dh_k = tuple(gi * C.mass_a for gi in g[3:6])  # dH/dk  = ma   dH~/dk~
+    dh_t = g[6] * ma2                             # dH/dt  = ma^2 dH~/dt
 
     denom = jnp.where(photon, -e7, erg)
     fac = C_KM * t * g_rr / denom

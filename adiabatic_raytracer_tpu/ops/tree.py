@@ -219,6 +219,8 @@ class TreeResult(NamedTuple):
     n_alloc: Any      # [E]
     dw_anomalies: Any  # [E] nodes popped with Delta_omega outside (-2, -0.5)
                        # (MainRunner.jl:168-171 per-node sanity print)
+    n_iters: Any       # [] work-queue iterations executed (perf diagnostic:
+                       # == the longest sequential chain across the batch)
 
 
 def _alloc_pools(E, P, NS, dtype):
@@ -292,6 +294,19 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     )
 
     dt0_ln = cfg.ln_t_start
+    # work-queue launch width: the [E, K] lane grid is mostly inert, so the
+    # propagation launch carries only the W globally heaviest valid lanes
+    # (every event's lead lane is boosted above all others, so chains always
+    # progress each iteration and the `it` bound stays valid); remaining
+    # valid lanes stay pending for later iterations.  Within an event the
+    # selected lanes form a weight-descending prefix of its top-K list, so
+    # count_now ranks, MC draw keys, and cutoff overshoot are untouched
+    # whenever W covers all valid lanes (the typical case at the default
+    # sizes: median pending per event is ~1).
+    W = cfg.tree_queue_width
+    if W <= 0:
+        W = max(((2 * E + 127) // 128) * 128, 128)
+    W = int(min(E * K, max(W, E)))  # >= E so every lead lane fits
     lnt1 = jnp.broadcast_to(jnp.asarray(lnt_end, dtype), (E,))
     lnt1K = jnp.broadcast_to(lnt1[:, None], (E, K))
     ergK = jnp.broadcast_to(erg_inf[:, None], (E, K))
@@ -357,26 +372,47 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         # event's running count (the reference's `count` at pop time)
         count_now = c.count[:, None] + 1 + jrange
 
+        # --- global work-queue compaction: pick the W lanes to launch ---
+        if W < E * K:
+            gkey = jnp.where(valid, w_node, -jnp.inf)
+            gkey = gkey + jnp.where(jrange == 0, 4.0, 0.0)   # weights <= 1:
+            # every event's lead lane outranks all non-lead lanes globally
+            topv, gsel = lax.top_k(gkey.reshape(E * K), W)
+            sel = jnp.zeros((E * K,), bool).at[gsel].set(jnp.isfinite(topv))
+            nsel = jnp.sum(sel.reshape(E, K), axis=1)
+            valid = valid & (jrange < nsel[:, None])   # tie-safe prefix
+            # pack the (now <= W) valid lanes; top_k breaks ties toward lower
+            # flat indices, i.e. event-major order
+            _, gidx = lax.top_k(valid.reshape(E * K).astype(jnp.float32), W)
+            gather = lambda a: flat(a)[gidx]
+
+            def expand(field):
+                buf = jnp.zeros((E * K,) + field.shape[1:], field.dtype)
+                return buf.at[gidx].set(field)
+        else:
+            gather = flat
+            expand = lambda a: a
+
         lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(jnp.asarray(dt0_ln, dtype))))
         lnt0 = jnp.where(valid, lnt0, lnt1K)  # inert lanes exit immediately
         prop_kw = dict(
-            erg=flat(ergK), delta_w=flat(dw_node), lnt0=flat(lnt0),
-            lnt1=flat(lnt1K), is_photon=flat(is_ph), species="mixed",
+            erg=gather(ergK), delta_w=gather(dw_node), lnt0=gather(lnt0),
+            lnt1=gather(lnt1K), is_photon=gather(is_ph), species="mixed",
         )
         if cfg.engine == "mega":
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
-            res = propagate_mega(flat(pos0), flat(k0), sc, cfg,
+            res = propagate_mega(gather(pos0), gather(k0), sc, cfg,
                                  max_crossings=1, **prop_kw)
         else:
-            res = propagate(flat(pos0), flat(k0), sc, cfg,
-                            max_crossings=jnp.ones(E * K, jnp.int32), **prop_kw)
+            res = propagate(gather(pos0), gather(k0), sc, cfg,
+                            max_crossings=jnp.ones(W, jnp.int32), **prop_kw)
 
-        has_cross = unflat(res.n_cross) >= 1
-        xc = unflat(res.xc[:, 0, :])
-        kc = unflat(res.kc[:, 0, :])
-        tcx = unflat(res.tc[:, 0])
-        dwcx = unflat(res.dwc[:, 0])
+        has_cross = unflat(expand(res.n_cross)) >= 1
+        xc = unflat(expand(res.xc[:, 0, :]))
+        kc = unflat(expand(res.kc[:, 0, :]))
+        tcx = unflat(expand(res.tc[:, 0]))
+        dwcx = unflat(expand(res.dwc[:, 0]))
 
         # "rare fail" guard (MainRunner.jl:213-224): |velocity component| > 1
         rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=-1) & valid
@@ -384,9 +420,9 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         xc_s = jnp.where(cross_ok[..., None], xc, pos_safe)
         kc_s = jnp.where(cross_ok[..., None], kc, k_safe)
-        pcx_flat, _ = _prob_batch(flat(xc_s), flat(kc_s),
-                                  flat(ergK * jnp.abs(dwcx)), sc, cfg.compute_dtype)
-        pcx = jnp.where(cross_ok, unflat(pcx_flat), 0.0)
+        pcx_w, _ = _prob_batch(gather(xc_s), gather(kc_s),
+                               gather(ergK * jnp.abs(dwcx)), sc, cfg.compute_dtype)
+        pcx = jnp.where(cross_ok, unflat(expand(pcx_w)), 0.0)
 
         # --- record propagation results on the processed nodes ---
         sel_w = jnp.where(valid, top_idx, DROP)
@@ -395,17 +431,17 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         def sc2(buf, val, slot):
             return buf.at[eK, slot].set(val, mode="drop")
 
-        traj_k = unflat(res.traj)
-        mom_k = unflat(res.mom)
+        traj_k = unflat(expand(res.traj))
+        mom_k = unflat(expand(res.mom))
         pl = pl._replace(
             status=sc2(pl.status, jnp.full((E, K), 2, jnp.int32), sel_w),
             fpos=sc2(pl.fpos, traj_k[:, :, -1, :], sel_w),
             fmom=sc2(pl.fmom, mom_k[:, :, -1, :], sel_w),
-            ferg=sc2(pl.ferg, unflat(res.erg)[:, :, -1], sel_w),
-            ftime=sc2(pl.ftime, unflat(res.final_lnt), sel_w),
+            ferg=sc2(pl.ferg, unflat(expand(res.erg[:, -1])), sel_w),
+            ftime=sc2(pl.ftime, unflat(expand(res.final_lnt)), sel_w),
             traj=sc2(pl.traj, traj_k, sel_w),
             mom=sc2(pl.mom, mom_k, sel_w),
-            times=sc2(pl.times, unflat(res.times), sel_w),
+            times=sc2(pl.times, unflat(expand(res.times)), sel_w),
             xc=sc2(pl.xc, xc, sel_x),
             kc=sc2(pl.kc, kc, sel_x),
             tcx=sc2(pl.tcx, tcx, sel_x),
@@ -519,7 +555,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     info = jnp.where(out.count > tcfg.mc_nodes, -jnp.abs(out.info), out.info)
     return TreeResult(pools=out.pools, count=out.count, count_main=out.count_main,
                       info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc,
-                      dw_anomalies=out.dw_anom)
+                      dw_anomalies=out.dw_anom, n_iters=out.it)
 
 
 def max_finals(tcfg: TreeConfig) -> int:

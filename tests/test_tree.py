@@ -108,3 +108,20 @@ def test_compact_finals_matches_pools():
             np.testing.assert_allclose(fp[e, j, 3], np.asarray(pl.weight)[e, p], rtol=1e-12)
             np.testing.assert_allclose(fp[e, j, 8:11], np.asarray(pl.fpos)[e, p], rtol=1e-12)
             np.testing.assert_allclose(fp[e, j, 11:14], np.asarray(pl.fmom)[e, p], rtol=1e-12)
+
+
+def test_forward_tree_queue_compaction_invariants():
+    """Force the global work-queue compaction path (tree_queue_width < E*K):
+    deferral of light lanes must preserve weight conservation and produce a
+    valid tree (finals, counts, info codes)."""
+    x, k_init, erg = _events(3)
+    cfg_w = NumericsConfig(interp_points=8, max_crossings=8, tree_queue_width=4)
+    tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=4, mc_nodes=100, max_nodes=8)
+    out = tree.forward_tree(jax.random.PRNGKey(7), x, k_init, erg, SC, cfg_w, tcfg,
+                            lnt_end=0.0)
+    pools = out.pools
+    pending_w = np.where(np.asarray(pools.status) == 1, np.asarray(pools.weight), 0.0)
+    total = np.asarray(out.tot_prob) + pending_w.sum(axis=1)
+    np.testing.assert_allclose(total, 1.0, atol=1e-9)
+    assert np.all(np.asarray(out.count) >= 1)
+    assert set(np.abs(np.asarray(out.info))).issubset({1, 2, 3, 4})
