@@ -219,8 +219,10 @@ class TreeResult(NamedTuple):
     n_alloc: Any      # [E]
     dw_anomalies: Any  # [E] nodes popped with Delta_omega outside (-2, -0.5)
                        # (MainRunner.jl:168-171 per-node sanity print)
-    n_iters: Any       # [] work-queue iterations executed (perf diagnostic:
-                       # == the longest sequential chain across the batch)
+    n_iters: Any       # [E] work-queue iterations executed, replicated per
+                       # event (perf diagnostic: == the longest sequential
+                       # chain across the batch; [E]-shaped so the result
+                       # pytree shards uniformly over the event axis)
 
 
 def _alloc_pools(E, P, NS, dtype):
@@ -555,7 +557,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     info = jnp.where(out.count > tcfg.mc_nodes, -jnp.abs(out.info), out.info)
     return TreeResult(pools=out.pools, count=out.count, count_main=out.count_main,
                       info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc,
-                      dw_anomalies=out.dw_anom, n_iters=out.it)
+                      dw_anomalies=out.dw_anom,
+                      n_iters=jnp.broadcast_to(out.it, (E,)))
 
 
 def max_finals(tcfg: TreeConfig) -> int:

@@ -13,8 +13,8 @@ vs_baseline compares against an estimated single-core Julia throughput of
 estimate documented in bench.py, i.e. ~0.3 s/event.  No published reference
 numbers exist (BASELINE.md).
 
-Environment knobs: BENCH_EVENTS (default 2048), BENCH_EVENT_BATCH (default
-512), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
+Environment knobs: BENCH_EVENTS (default 4096), BENCH_EVENT_BATCH (default
+1024), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
 (default: megakernel + f32 physics on TPU, pool + f64 on CPU).
 """
 
@@ -37,8 +37,8 @@ def main():
     from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
     from adiabatic_raytracer_tpu.driver import run
 
-    n_events = int(os.environ.get("BENCH_EVENTS", "2048"))
-    event_batch = int(os.environ.get("BENCH_EVENT_BATCH", "512"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "4096"))
+    event_batch = int(os.environ.get("BENCH_EVENT_BATCH", "1024"))
     seed = int(os.environ.get("BENCH_SEED", "1769"))
 
     platform = jax.devices()[0].platform
