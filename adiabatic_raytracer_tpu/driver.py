@@ -106,15 +106,20 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
 
 @functools.lru_cache(maxsize=8)
 def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max,
-                   flat_sampling: bool = True):
+                   flat_sampling: bool = True, cap: int = 512):
     """Jitted conversion-surface sampler, cached across run() calls so a
     warmup run compiles for the production run (configs are frozen
     dataclasses, hence hashable).
 
-    The output is packed into ONE [B, 11] array (success, xpos, v_loc,
-    erg_inf, v_ifty): on a tunneled TPU every device->host fetch costs a
-    network round trip (~tens of ms), so per-field fetches dominate the
-    host loop."""
+    The successes are COMPACTED ON DEVICE: of the b oversampled draws, only
+    the first min(cap, b) successes (in draw order, selected with the
+    masked-iota top_k trick — jnp.nonzero lowers to a slow scatter on TPU)
+    are shipped to the host, as ONE [min(cap,b)+1, 11] array of rows
+    (pos_in_chunk, xpos, v_loc, erg_inf, v_ifty) with the total success
+    count in the trailer row.  The host loop's RNG stream, succ_rate
+    adaptation, and f_inx attempt accounting are bit-identical to fetching
+    the full chunk — only the fetched bytes shrink (~8x at the default
+    occupancy; the tunneled-TPU link runs ~15 MB/s)."""
 
     # route the dense line scan through the fused Pallas kernel off-CPU
     line_engine = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
@@ -126,9 +131,16 @@ def _build_sampler(sc: Scene, cfg: NumericsConfig, maxR, n_grid, n_max,
                                    compute_dtype=cfg.compute_dtype,
                                    line_engine=line_engine)
         d = res.xpos.dtype
-        return jnp.concatenate([
-            res.success.astype(d)[:, None], res.xpos, res.v_loc,
+        rows = jnp.concatenate([
+            jnp.arange(b, dtype=d)[:, None], res.xpos, res.v_loc,
             res.erg_inf.astype(d)[:, None], res.v_ifty.astype(d)], axis=1)
+        kk = min(cap, b)
+        selkey = jnp.where(res.success, -jnp.arange(b, dtype=jnp.float32),
+                           jnp.float32(-2.0 * b))
+        _, sel = jax.lax.top_k(selkey, kk)     # first kk successes, in order
+        n_succ = jnp.sum(res.success).astype(d)
+        trailer = jnp.zeros((1, 11), d).at[0, 0].set(n_succ)
+        return jnp.concatenate([rows[sel], trailer], axis=0)
 
     return jax.jit(packed, static_argnums=1)
 
@@ -340,7 +352,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         print(f"Using seed {stats.seed}")
 
     sample_jit = _build_sampler(sc, cfg, maxR, n_grid, n_max,
-                                tcfg.flat_sampling)
+                                tcfg.flat_sampling, cap=int(event_batch))
     pipeline_jit = _build_pipeline(sc, cfg, tcfg, maxR, lnt_end,
                                    int(mesh_devices or 0))
     pad_to = mesh_devices if mesh_devices and mesh_devices > 1 else 1
@@ -372,24 +384,27 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         nonlocal key, succ_rate, issue_event_no, issue_remaining, batches_issued
         batch = min(event_batch, issue_remaining)
         # oversample so one jitted call usually covers the batch; batch sizes
-        # are power-of-2 quantized to bound sampler recompiles
+        # are power-of-2 quantized to bound sampler recompiles.  The device
+        # returns only the packed successes + count (see _build_sampler);
+        # the key stream / succ_rate / attempt accounting below are
+        # bit-identical to fetching the full chunks.
         t_s0 = time.time()
-        xs, flags = [], []
+        xs, kept_pos = [], []
         got = 0
+        chunk_off = 0
         while got < batch:
             key, sub = jax.random.split(key)
             need = batch - got
             sb = 1 << max(int(need / max(succ_rate, 0.02) * 1.3) - 1, 7).bit_length()
-            pk = np.asarray(sample_jit(sub, sb))        # ONE fetch per call
-            succ = pk[:, 0] > 0.5
-            succ_rate = max(0.5 * succ_rate + 0.5 * float(succ.mean()), 0.02)
-            flags.append(succ)
-            idx = np.nonzero(succ)[0][: batch - got]
-            xs.append(pk[idx, 1:])
-            got += len(idx)
-        flag_stream = np.concatenate(flags)
-        kept_pos = np.nonzero(flag_stream)[0][:batch]
-        attempts = int(kept_pos[-1]) + 1
+            pk = np.asarray(sample_jit(sub, sb))        # ONE small fetch/call
+            n_succ = int(pk[-1, 0])
+            succ_rate = max(0.5 * succ_rate + 0.5 * n_succ / sb, 0.02)
+            take = min(n_succ, need)
+            xs.append(pk[:take, 1:])
+            kept_pos.append(chunk_off + pk[:take, 0])
+            chunk_off += sb
+            got += take
+        attempts = int(np.concatenate(kept_pos)[batch - 1]) + 1
 
         # integration state stays f64 even when the sampler computed in f32
         samp = np.concatenate(xs, axis=0).astype(np.float64)

@@ -356,8 +356,12 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         active = ~c.done & has_pending
         # K highest-weight pending nodes per event, weight-descending
         # (== sort! + pop, MainRunner.jl:342, K at a time)
+        # selection keys sort in f32 on the f32 compute path (the weights
+        # are f32-physics values anyway; a TPU sort over [E*P] f64 keys is
+        # ~2x the cost) — ranking ties break by index either way
+        skey = jnp.float32 if cfg.compute_dtype == "f32" else dtype
         wmask = jnp.where(pending & active[:, None], pl.weight, -jnp.inf)
-        top_w, top_idx = lax.top_k(wmask, K)          # [E, K]
+        top_w, top_idx = lax.top_k(wmask.astype(skey), K)   # [E, K]
         valid = jnp.isfinite(top_w)
 
         def g2(buf):
@@ -376,8 +380,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         # --- global work-queue compaction: pick the W lanes to launch ---
         if W < E * K:
-            gkey = jnp.where(valid, w_node, -jnp.inf)
-            gkey = gkey + jnp.where(jrange == 0, 4.0, 0.0)   # weights <= 1:
+            gkey = jnp.where(valid, w_node.astype(skey), -jnp.inf)
+            gkey = gkey + jnp.where(jrange == 0, 4.0, 0.0).astype(skey)
             # every event's lead lane outranks all non-lead lanes globally
             topv, gsel = lax.top_k(gkey.reshape(E * K), W)
             sel = jnp.zeros((E * K,), bool).at[gsel].set(jnp.isfinite(topv))
