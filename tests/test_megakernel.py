@@ -158,3 +158,55 @@ def test_mega_multi_crossing_dense():
             rr = np.linalg.norm(np.asarray(ref.xc[b, s]))
             rg = np.linalg.norm(np.asarray(got.xc[b, s]))
             assert abs(rg - rr) / rr < 1e-3, (b, s, rr, rg)
+
+
+def test_rhs_reverse_mode_matches_pool_f64():
+    """The megakernel's ONE-vjp reverse-mode RHS over the nondimensionalized
+    Hamiltonian (B/|b0|, k/mass_a — O(1) intermediates) matches the XLA
+    pool's f64 RHS (ops/propagate.make_rhs) to f32 accuracy at production
+    scales.  Raw-scale f32 reverse-mode loses ~5 digits here, so this test
+    guards the scaling."""
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import make_rhs
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig()
+    C = mk.SceneConsts(sc, cfg)
+    C.species = "mixed"
+
+    rng = np.random.default_rng(3)
+    N = 256
+    r = rng.uniform(11.5, 40.0, N)          # > 1.01 rNS (no frozen zone)
+    th = rng.uniform(0.1, np.pi - 0.1, N)
+    ph = rng.uniform(-np.pi, np.pi, N)
+    w = rng.normal(size=(3, N))             # celerity/erg, O(1)
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+    erg = np.full(N, 1e-5)
+    e7 = -erg                                # delta_w = -1
+    t = rng.uniform(1e-6, 0.5, N)
+    lnt = np.log(t)
+    is_ph = (np.arange(N) % 2 == 0)
+
+    u7 = (r, th, ph, w[0], w[1], w[2], e7)
+    got = mk._rhs(C, tuple(jnp.asarray(v, jnp.float32) for v in u7),
+                  jnp.asarray(lnt, jnp.float32), jnp.asarray(erg, jnp.float32),
+                  jnp.asarray(is_ph, jnp.float32))
+    got = np.stack([np.asarray(g, np.float64) for g in got], axis=1)  # [N, 7]
+
+    rhs = make_rhs(sc, sc.mass_ns_eff, 0.0, "mixed", "state")
+    u_vec = jnp.asarray(np.stack(u7, axis=1))            # [N, 7] f64
+    ref = jax.vmap(lambda u, l, e, p: rhs(u, l, {"erg": e, "is_photon": p}))(
+        u_vec, jnp.asarray(lnt), jnp.asarray(erg), jnp.asarray(is_ph))
+    ref = np.asarray(ref)
+
+    for i in range(7):
+        scale = np.abs(ref[:, i]).max()
+        if scale == 0.0:
+            assert np.abs(got[:, i]).max() == 0.0
+            continue
+        err = np.abs(got[:, i] - ref[:, i]) / (np.abs(ref[:, i]) + 1e-12 * scale)
+        m = np.abs(ref[:, i]) > 1e-6 * scale
+        assert np.median(err[m]) < 5e-6, (i, np.median(err[m]))
+        assert err[m].max() < 5e-3, (i, err[m].max())
