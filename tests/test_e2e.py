@@ -71,3 +71,29 @@ def test_determinism(outputs, tmp_path):
     r1 = np.load(_npy(outputs, "sm0"))
     r2 = np.load(_npy(d2, "sm0"))
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_weight_convergence_on_driver_run(outputs):
+    """The tree algorithm's self-validation (SURVEY §4.3, analysis.py:147;
+    plotTree.py:162-178): for a full-tree event stopped by prob_cutoff
+    (info == 2), the total outgoing weight parsed back from the saveMode-3
+    tree file must equal 1 - O(prob_cutoff); MC-truncated events stay <= 1."""
+    rows = np.load(_npy(outputs, "sm3"))
+    info_by_event = {}
+    for r in rows:
+        info_by_event[int(r[0])] = int(r[21])
+    checked_full = 0
+    for en, info in info_by_event.items():
+        nodes = treeio.load_tree(os.path.join(outputs, "tree", f"tree_sm3{en}"))
+        # skip the backtraced parent axion (nodes[0]); sum the forward tree
+        s = treeio.tree_weight_sum(nodes)
+        assert 0.0 < s <= 1.0 + 1e-9, (en, s)
+        if info == 2:  # prob_cutoff stop in full-tree mode: Sigma w -> 1
+            assert s >= 1.0 - 1e-10 - 1e-9, (en, s)
+            checked_full += 1
+    assert checked_full >= 1  # the fixed seed produces >= 1 full-tree event
+
+    summary = treeio.convergence_summary(
+        os.path.join(outputs, "event", "event_sm3"),
+        os.path.join(outputs, "event", "final_sm3"))
+    assert summary["weight_sum_per_event"] > 0
