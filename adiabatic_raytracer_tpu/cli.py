@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="boundary-layer power-law index; negative disables")
     # --- TPU-native extras ---
     p.add_argument("--dir_tag", type=str, default="results")
-    p.add_argument("--event_batch", type=int, default=16,
-                   help="events propagated per vmapped batch")
+    p.add_argument("--event_batch", type=int, default=0,
+                   help="events propagated per vmapped batch; 0 = auto "
+                        "(512 on TPU — the device is >90%% idle below "
+                        "~256-event batches — 16 on CPU)")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
@@ -104,6 +106,8 @@ def main(argv=None) -> int:
         engine = "pool" if jax.devices()[0].platform == "cpu" else "mega"
     else:
         engine = args.engine
+    if args.event_batch <= 0:
+        args.event_batch = 16 if jax.devices()[0].platform == "cpu" else 512
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
                          engine=engine)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
