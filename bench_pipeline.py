@@ -15,7 +15,9 @@ numbers exist (BASELINE.md).
 
 Environment knobs: BENCH_EVENTS (default 4096), BENCH_EVENT_BATCH (default
 1024), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
-(default: megakernel + f32 physics on TPU, pool + f64 on CPU).
+(default: megakernel + f32 physics on TPU, pool + f64 on CPU), BENCH_DEEP=1
+(run at the reference's production cutoffs — probCutoff 1e-10, numCutoff 50,
+MCNodes 10, maxNodes 100, runner_example.sh:4 — instead of the defaults).
 """
 
 import json
@@ -51,7 +53,12 @@ def main():
                r_ns=10.0, mass_ns=1.0)
     cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
                          compute_dtype=compute_dtype, engine=engine)
-    tcfg = TreeConfig()  # reference default cutoffs
+    deep = os.environ.get("BENCH_DEEP", "") == "1"
+    if deep:  # the reference's production scale (runner_example.sh:4)
+        tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=50, mc_nodes=10,
+                          max_nodes=100)
+    else:
+        tcfg = TreeConfig()  # reference default cutoffs
 
     # batches must all have the same shape or the pipeline recompiles
     n_events = ((n_events + event_batch - 1) // event_batch) * event_batch
@@ -73,7 +80,8 @@ def main():
     rows, _, stats = out
     events_per_sec = n_events / dt
     print(json.dumps({
-        "metric": "pipeline_events_per_sec_per_chip",
+        "metric": ("pipeline_deep_events_per_sec_per_chip" if deep
+                   else "pipeline_events_per_sec_per_chip"),
         "value": round(events_per_sec, 2),
         "unit": "events/s",
         "vs_baseline": round(events_per_sec / JULIA_CPU_EVENTS_PER_SEC, 2),
