@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles dominate the suite's wall time
+# on the 1-core host (~25 of ~28 minutes cold); with the cache warm the same
+# suite reruns in a fraction of that.  Safe across code changes — the cache
+# key hashes the jaxpr/HLO, so edited computations recompile automatically.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
