@@ -393,6 +393,14 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         got = 0
         chunk_off = 0
         while got < batch:
+            if chunk_off > 8_000_000 and got == 0:
+                # the reference's sampling loop (MainRunner.jl:463-494) spins
+                # forever on a scene with no reachable conversion surface;
+                # fail loudly instead
+                raise RuntimeError(
+                    f"conversion-surface sampler produced 0 valid events in "
+                    f"{chunk_off} draws — check the scene parameters "
+                    f"(mass_a/B0/omega_pul place the surface at maxR={maxR:.3g})")
             key, sub = jax.random.split(key)
             need = batch - got
             sb = 1 << max(int(need / max(succ_rate, 0.02) * 1.3) - 1, 7).bit_length()
