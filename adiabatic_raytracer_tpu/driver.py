@@ -47,6 +47,7 @@ class RunStats:
     sample_attempts: int = 0
     f_inx: int = 0
     tot_nodes: int = 0
+    tree_iters: int = 0  # total work-queue iterations (tree.TreeResult.n_iters)
     info_hist: dict = field(default_factory=dict)
     dw_warnings: int = 0
     wall_time: float = 0.0
@@ -184,7 +185,8 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
         ev_pack = jnp.concatenate([
             sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
             one(tr.dw_anomalies), bt.samp_back_weight[:, None],
-            bt.prob0[:, None], one(bt.c_bck), k_init], axis=1)  # [E, 11]
+            bt.prob0[:, None], one(bt.c_bck), k_init,
+            one(tr.n_iters)], axis=1)  # [E, 12]
         return fin_pack, ev_pack, bt, tr
 
     if mesh_devices > 1:
@@ -393,13 +395,14 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         got = 0
         chunk_off = 0
         while got < batch:
-            if chunk_off > 8_000_000 and got == 0:
+            if chunk_off > 8_000_000 and got * 1_000_000 < chunk_off:
                 # the reference's sampling loop (MainRunner.jl:463-494) spins
-                # forever on a scene with no reachable conversion surface;
-                # fail loudly instead
+                # forever on a scene whose conversion surface is (nearly)
+                # unreachable; fail loudly once the yield drops below one
+                # success per million draws
                 raise RuntimeError(
-                    f"conversion-surface sampler produced 0 valid events in "
-                    f"{chunk_off} draws — check the scene parameters "
+                    f"conversion-surface sampler produced {got} valid events "
+                    f"in {chunk_off} draws — check the scene parameters "
                     f"(mass_a/B0/omega_pul place the surface at maxR={maxR:.3g})")
             key, sub = jax.random.split(key)
             need = batch - got
@@ -409,7 +412,10 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
             succ_rate = max(0.5 * succ_rate + 0.5 * n_succ / sb, 0.02)
             take = min(n_succ, need)
             xs.append(pk[:take, 1:])
-            kept_pos.append(chunk_off + pk[:take, 0])
+            # int64 before the offset add: under --precision f32 the packed
+            # positions arrive as float32 and chunk_off past 2^24 would
+            # corrupt the attempt indices (and with them f_inx)
+            kept_pos.append(chunk_off + pk[:take, 0].astype(np.int64))
             chunk_off += sb
             got += take
         attempts = int(np.concatenate(kept_pos)[batch - 1]) + 1
@@ -448,9 +454,12 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         batches_issued += 1
         return rec
 
-    def assemble(rec):
+    def assemble(rec, overlap_s=0.0):
         """Fetch one in-flight batch, assemble its rows, write text streams,
-        apply its (deferred) sampling accounting, checkpoint."""
+        apply its (deferred) sampling accounting, checkpoint.  overlap_s:
+        host time spent sampling the NEXT batch between this batch's dispatch
+        and now — subtracted so t_pipeline / the event-file per-event time
+        measure this batch's pipeline, not the pipelined host work."""
         nonlocal event_no, remaining, batches_done
         batch = rec["batch"]
         xpos, v_ifty = rec["xpos"], rec["v_ifty"]
@@ -462,11 +471,11 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         fin_pack, ev_pack, bt, tr = rec["handles"]
         jax.block_until_ready(fin_pack)
         t_f0 = time.time()
-        stats.t_pipeline += t_f0 - rec["t_dispatch"]
+        stats.t_pipeline += max(t_f0 - rec["t_dispatch"] - overlap_s, 0.0)
         fp = np.asarray(fin_pack)[:batch]               # [E, F, 14], one fetch
-        evp = np.asarray(ev_pack)[:batch]               # [E, 11], one fetch
+        evp = np.asarray(ev_pack)[:batch]               # [E, 12], one fetch
         stats.t_fetch += time.time() - t_f0
-        t_batch = time.time() - rec["t_dispatch"]
+        t_batch = max(time.time() - rec["t_dispatch"] - overlap_s, 0.0)
 
         t_r0 = time.time()
         (f_valid, f_is_ph, f_ferg, f_weight, f_prob, f_prob_conv,
@@ -482,6 +491,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         bt_prob0 = evp[:, 6]
         bt_c_bck = evp[:, 7].astype(np.int64)
         k_init_np = evp[:, 8:11]
+        stats.tree_iters += int(evp[0, 11])  # replicated per event
 
         # --- vectorized row assembly (MainRunner.jl:670-729) ---
         xpos_np = xpos
@@ -601,7 +611,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                                     or batches_issued < max_batches):
             nxt = issue_batch()
         if pending is not None:
-            assemble(pending)
+            assemble(pending, overlap_s=nxt["t_sample"] if nxt else 0.0)
         pending = nxt
         if pending is None and issue_remaining > 0:  # max_batches early stop
             if verbose:

@@ -192,17 +192,27 @@ def _metric(C, r, sin_th):
     return g_tt, g_rr, 1.0 / r**2, 1.0 / (r * sin_th) ** 2
 
 
-def _dipole(C, r, cz, sin_th, cphi, sphi, time):
-    """GJ dipole orthonormal components at spherical point; the rotation by
-    omega*t uses cos/sin(psi) = cos/sin(phi - omega t) via angle addition."""
+def _dipole_unit(C, r, cz, sin_th, cphi, sphi, time):
+    """GJ dipole orthonormal components in units of |b0| (sign carried via
+    b0_sign); the rotation by omega*t uses cos/sin(psi) = cos/sin(phi -
+    omega t) via angle addition.  Shared by the unscaled field (_dipole, used
+    by the crossing condition) and the nondimensionalized Hamiltonian
+    (_hamiltonian_nd) so the dynamics and the event scan cannot drift."""
     swt, cwt = _sincos(C.omega * time)
     cp = cphi * cwt + sphi * swt      # cos(phi - wt)
     sp = sphi * cwt - cphi * swt      # sin(phi - wt)
-    bnorm = C.b0 * (C.r_ns / r) ** 3 / 2.0
+    bnorm = C.b0_sign * (C.r_ns / r) ** 3 * 0.5
     br = 2.0 * bnorm * (C.cm * cz + C.sm * sin_th * cp)
     btheta = bnorm * (C.cm * sin_th - C.sm * cz * cp)
     bphi = bnorm * C.sm * sp
     return br, btheta, bphi
+
+
+def _dipole(C, r, cz, sin_th, cphi, sphi, time):
+    """GJ dipole in physical units (Gauss): |b0| x _dipole_unit."""
+    a = abs(C.b0)
+    br, btheta, bphi = _dipole_unit(C, r, cz, sin_th, cphi, sphi, time)
+    return a * br, a * btheta, a * bphi
 
 
 def _omega_p(C, br, btheta, cz, sin_th, r, zero_in=True):
@@ -226,13 +236,7 @@ def _hamiltonian_nd(C, x1, x2, x3, kt1, kt2, kt3, time, ergt):
     s_th, c_th = _sincos(x2)
     s_ph, c_ph = _sincos(x3)
     g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th)
-    swt, cwt = _sincos(C.omega * time)
-    cp = c_ph * cwt + s_ph * swt
-    sp = s_ph * cwt - c_ph * swt
-    bn = C.b0_sign * (C.r_ns / r) ** 3 * 0.5
-    br = 2.0 * bn * (C.cm * c_th + C.sm * s_th * cp)
-    btheta = bn * (C.cm * s_th - C.sm * c_th * cp)
-    bphi = bn * C.sm * sp
+    br, btheta, bphi = _dipole_unit(C, r, c_th, s_th, c_ph, s_ph, time)
     bz = br * c_th - btheta * s_th
     wp2t = C.wp2_scale * jnp.abs(bz)
     wp2t = jnp.where(r <= C.r_ns, 0.0, wp2t)

@@ -89,6 +89,7 @@ def main():
         "event_batch": event_batch,
         "finals": int(stats.finals),
         "nodes": int(stats.tot_nodes),
+        "tree_iters": int(stats.tree_iters),
         "nodes_per_sec": round(stats.tot_nodes / dt, 1),
         "rows": int(rows.shape[0]),
         "wall_s": round(dt, 3),
