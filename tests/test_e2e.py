@@ -97,3 +97,22 @@ def test_weight_convergence_on_driver_run(outputs):
         os.path.join(outputs, "event", "event_sm3"),
         os.path.join(outputs, "event", "final_sm3"))
     assert summary["weight_sum_per_event"] > 0
+
+
+def test_golden_pinned_rows(tmp_path):
+    """Regression anchor with PINNED values (the verify-skill golden): the
+    fixed-seed CPU run must reproduce the committed weights — catches silent
+    numeric drift that schema/determinism checks cannot.  Re-pin deliberately
+    (with a changelog note) if a semantics change is intended."""
+    d = str(tmp_path)
+    args = ["--Nts", "4", "--seed", "1769", "--ThetaM", "0.2", "--saveMode",
+            "1", "--event_batch", "3", "--platform", "cpu", "--dir_tag", d,
+            "--ftag", "gold"]
+    assert main(args) == 0
+    rows = np.load(_npy(d, "gold"))
+    assert rows.shape == (8, 29)
+    np.testing.assert_allclose(
+        rows[:, 8],
+        [1.63210147e-03, 1.95543827e-06, 3.10107856e-03, 9.44399874e-06,
+         4.62802112e-08, 2.22313399e-08, 2.19889740e-10, 2.05004373e-03],
+        rtol=1e-6)
