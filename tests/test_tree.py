@@ -125,3 +125,44 @@ def test_forward_tree_queue_compaction_invariants():
     np.testing.assert_allclose(total, 1.0, atol=1e-9)
     assert np.all(np.asarray(out.count) >= 1)
     assert set(np.abs(np.asarray(out.info))).issubset({1, 2, 3, 4})
+
+
+def test_mc_estimator_unbiased_vs_full_tree():
+    """The pure-MC mode (count > mc_nodes: one drawn child carrying the full
+    parent weight) must be a statistically unbiased estimator of the
+    full-tree enumeration (SURVEY §7.3: 'proving the reweighted formulation
+    is statistically identical').  Replicate ONE event N times with
+    independent keys in MC mode and compare the mean outgoing photon weight
+    against the deterministic full-tree value within sampling error."""
+    x, k_init, erg = _events(1, key=5)
+    cfg = NumericsConfig(interp_points=8, max_crossings=8)
+    # generous cutoffs so both modes terminate via prob_cutoff, not truncation
+    full_cfg = TreeConfig(prob_cutoff=1e-9, num_cutoff=64, mc_nodes=10_000,
+                          max_nodes=64)
+    mc_cfg = TreeConfig(prob_cutoff=1e-9, num_cutoff=64, mc_nodes=0,
+                        max_nodes=64)
+
+    def photon_weight(out):
+        pl = out.pools
+        fin = (np.asarray(pl.status) == 2) & np.asarray(pl.is_final) \
+            & np.asarray(pl.is_photon)
+        return np.sum(np.where(fin, np.asarray(pl.weight), 0.0), axis=1)
+
+    full = tree.forward_tree(jax.random.PRNGKey(0), x, k_init, erg, SC, cfg,
+                             full_cfg, lnt_end=0.0)
+    assert np.all(np.abs(np.asarray(full.info)) == 2)  # prob_cutoff stop
+    w_full = float(photon_weight(full)[0])
+    assert w_full > 0
+
+    N = 192
+    xN = jnp.repeat(x, N, axis=0)
+    kN = jnp.repeat(k_init, N, axis=0)
+    eN = jnp.repeat(erg, N, axis=0)
+    keysN = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(11), i))(
+        jnp.arange(N))
+    mc = tree.forward_tree(keysN, xN, kN, eN, SC, cfg, mc_cfg, lnt_end=0.0)
+    w_mc = photon_weight(mc)
+    se = float(np.std(w_mc, ddof=1)) / np.sqrt(N)
+    diff = abs(float(np.mean(w_mc)) - w_full)
+    # 4 sigma: flaky odds ~6e-5 under H0; a real bias of order w_full fails
+    assert diff < max(4.0 * se, 1e-12), (diff, se, w_full, float(np.mean(w_mc)))
