@@ -78,3 +78,28 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-12)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-10)
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-10)
+
+
+def test_driver_mesh_savemode3_files(tmp_path):
+    """--mesh combined with saveMode 3: the clear-text event/final/tree
+    writers fetch full sharded pytrees (pools, backtrace) — the files must
+    exist and parse with the analysis loaders."""
+    import os
+
+    from adiabatic_raytracer_tpu.analysis import treeio
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+
+    sc = Scene(theta_m=0.2)
+    cfg = NumericsConfig(interp_points=8, max_crossings=8)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=2, max_nodes=8)
+    d = str(tmp_path)
+    for sub in ("npy", "event", "tree"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    out = run(sc, cfg, tcfg, 3, seed=4242, save_mode=3, verbose=False,
+              dir_tag=d, file_tag="m2", event_batch=2, mesh_devices=2)
+    assert out is not None and out[0].shape[0] >= 1
+    ev = treeio.load_event_info(os.path.join(d, "event", "event_m2"))
+    assert ev[0].shape[0] == 2
+    nodes = treeio.load_tree(os.path.join(d, "tree", "tree_m21"))
+    assert nodes[0]["species"] == "axion" and len(nodes) >= 2
