@@ -159,7 +159,10 @@ class SceneConsts:
         self.max_fac = float(cfg.max_dt_factor)
         self.max_steps = int(cfg.max_steps)
         self.interp = int(cfg.interp_points)
-        self.bisect = int(min(cfg.bisect_iters, 30))  # f32 root: 30 suffices
+        # f32 root refinement: the bracket starts at tau-width 1/interp
+        # (<= 1/8), so 21 halvings reach 0.125 * 2^-21 = 6e-8 = the f32 ulp
+        # of tau — more iterations cannot move the result
+        self.bisect = int(min(cfg.bisect_iters, 21))
         self.stall_window = int(cfg.stall_window)
         self.stall_min = float(cfg.stall_min_progress)
         self.species = "photon"  # overridden by integrate_mega
@@ -463,17 +466,31 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
             tau_prev = jnp.full_like(lnt, tau_j)
         flip_found = flip_found & accept
 
-        # bisection (masked; ~30 iters)
-        g_lo = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_lo), lnt + tau_lo * h)
-        for _ in range(C.bisect):
-            tau_mid = 0.5 * (tau_lo + tau_hi)
-            g_mid = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_mid),
-                               lnt + tau_mid * h)
-            left = jnp.sign(g_mid) == jnp.sign(g_lo)
-            tau_lo = jnp.where(left, tau_mid, tau_lo)
-            g_lo = jnp.where(left, g_mid, g_lo)
-            tau_hi = jnp.where(left, tau_hi, tau_mid)
-        tau_star = 0.5 * (tau_lo + tau_hi)
+        # bisection — tile-level skip: most steps bracket no crossing in the
+        # WHOLE tile (~75% at production crossing rates), and the masked
+        # refinement was costing C.bisect condition+Hermite evaluations per
+        # step regardless.  An scf.if on "any lane flipped" skips it
+        # entirely; inside the branch lanes stay masked exactly as before,
+        # and a no-flip lane's bracket is [0, 0] either way, so the result
+        # is bit-identical to the unconditional loop.
+        any_flip = jnp.max(jnp.where(flip_found, 1.0, 0.0)) > 0.5
+
+        def _bisect(args):
+            tau_lo, tau_hi = args
+            g_lo = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_lo),
+                              lnt + tau_lo * h)
+            for _ in range(C.bisect):
+                tau_mid = 0.5 * (tau_lo + tau_hi)
+                g_mid = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_mid),
+                                   lnt + tau_mid * h)
+                left = jnp.sign(g_mid) == jnp.sign(g_lo)
+                tau_lo = jnp.where(left, tau_mid, tau_lo)
+                g_lo = jnp.where(left, g_mid, g_lo)
+                tau_hi = jnp.where(left, tau_hi, tau_mid)
+            return 0.5 * (tau_lo + tau_hi)
+
+        tau_star = lax.cond(any_flip, _bisect, lambda a: 0.5 * (a[0] + a[1]),
+                            (tau_lo, tau_hi))
         u_star = _hermite(u, u_new, f0, f_new, h, tau_star)
         lnt_star = lnt + tau_star * h
 
