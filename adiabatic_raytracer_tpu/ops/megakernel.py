@@ -466,57 +466,65 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
             tau_prev = jnp.full_like(lnt, tau_j)
         flip_found = flip_found & accept
 
-        # bisection — tile-level skip: most steps bracket no crossing in the
-        # WHOLE tile (~75% at production crossing rates), and the masked
+        # Event block — tile-level skip: most steps bracket no crossing in
+        # the WHOLE tile (~75% at production crossing rates), yet the masked
         # refinement was costing C.bisect condition+Hermite evaluations per
-        # step regardless.  An scf.if on "any lane flipped" skips it
-        # entirely; inside the branch lanes stay masked exactly as before,
-        # and a no-flip lane's bracket is [0, 0] either way, so the result
-        # is bit-identical to the unconditional loop.
+        # step plus the root-state filters and per-slot record writes.  One
+        # scf.if on "any lane flipped" skips all of it; inside the branch
+        # lanes stay masked exactly as before and a no-flip lane's bracket
+        # is [0, 0] either way, so the result is bit-identical to the
+        # unconditional code.  (Masks yield as f32: Mosaic rejects i1
+        # vector yields.)
         any_flip = jnp.max(jnp.where(flip_found, 1.0, 0.0)) > 0.5
+        zero = jnp.zeros_like(lnt)
 
-        def _bisect(args):
-            tau_lo, tau_hi = args
-            g_lo = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_lo),
-                              lnt + tau_lo * h)
+        def _event_blk(_):
+            t_lo, t_hi = tau_lo, tau_hi
+            g_lo = _condition(C, _hermite(u, u_new, f0, f_new, h, t_lo),
+                              lnt + t_lo * h)
             for _ in range(C.bisect):
-                tau_mid = 0.5 * (tau_lo + tau_hi)
-                g_mid = _condition(C, _hermite(u, u_new, f0, f_new, h, tau_mid),
-                                   lnt + tau_mid * h)
+                t_mid = 0.5 * (t_lo + t_hi)
+                g_mid = _condition(C, _hermite(u, u_new, f0, f_new, h, t_mid),
+                                   lnt + t_mid * h)
                 left = jnp.sign(g_mid) == jnp.sign(g_lo)
-                tau_lo = jnp.where(left, tau_mid, tau_lo)
+                t_lo = jnp.where(left, t_mid, t_lo)
                 g_lo = jnp.where(left, g_mid, g_lo)
-                tau_hi = jnp.where(left, tau_hi, tau_mid)
-            return 0.5 * (tau_lo + tau_hi)
+                t_hi = jnp.where(left, t_hi, t_mid)
+            tau_s = 0.5 * (t_lo + t_hi)
+            u_s = _hermite(u, u_new, f0, f_new, h, tau_s)
+            lnt_s = lnt + tau_s * h
+            # acceptance filters: start-dup (factor 1.0001 per |cart comp|)
+            # and r < 1.01 r_ns (ops/integrator.py:_process_events)
+            r_s = u_s[0]
+            sth, cth = _sincos(u_s[1])
+            sph, cph = _sincos(u_s[2])
+            pc = (r_s * sth * cph, r_s * sth * sph, r_s * cth)
+            sfac = 1.0001
+            within = jnp.ones_like(done)
+            for p, p0 in zip(pc, x0c):
+                within = within & (jnp.abs(p) < jnp.abs(p0) * sfac) \
+                    & (jnp.abs(p) > jnp.abs(p0) / sfac)
+            start_dup = within & (n_cross < 0.5)
+            rec = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) \
+                & (n_cross < max_crossings)
+            new_cu = []
+            new_cl = []
+            for slot in range(n_slots):
+                hit = rec & (jnp.abs(n_cross - slot) < 0.5)
+                new_cu.append(tuple(
+                    jnp.where(hit, us, cu)
+                    for us, cu in zip(u_s, cross_u[slot])))
+                new_cl.append(jnp.where(hit, lnt_s, cross_lnt[slot]))
+            return (jnp.where(rec, 1.0, 0.0), u_s, lnt_s,
+                    tuple(new_cu), tuple(new_cl))
 
-        tau_star = lax.cond(any_flip, _bisect, lambda a: 0.5 * (a[0] + a[1]),
-                            (tau_lo, tau_hi))
-        u_star = _hermite(u, u_new, f0, f_new, h, tau_star)
-        lnt_star = lnt + tau_star * h
+        def _no_event(_):
+            return zero, u, lnt, cross_u, cross_lnt
 
-        # acceptance filters: start-dup (factor 1.0001 per |cart comp|) and
-        # r < 1.01 r_ns (ops/integrator.py:_process_events)
-        r_s = u_star[0]
-        sth, cth = _sincos(u_star[1])
-        sph, cph = _sincos(u_star[2])
-        pc = (r_s * sth * cph, r_s * sth * sph, r_s * cth)
-        s = 1.0001
-        within = jnp.ones_like(done)
-        for p, p0 in zip(pc, x0c):
-            within = within & (jnp.abs(p) < jnp.abs(p0) * s) & (jnp.abs(p) > jnp.abs(p0) / s)
-        start_dup = within & (n_cross < 0.5)
-        record = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) & (n_cross < max_crossings)
-
-        new_cross_u = []
-        new_cross_lnt = []
-        for slot in range(n_slots):
-            hit = record & (jnp.abs(n_cross - slot) < 0.5)
-            new_cross_u.append(tuple(
-                jnp.where(hit, us, cu) for us, cu in zip(u_star, cross_u[slot])))
-            new_cross_lnt.append(jnp.where(hit, lnt_star, cross_lnt[slot]))
-        cross_u = tuple(new_cross_u)
-        cross_lnt = tuple(new_cross_lnt)
-        n_cross2 = n_cross + jnp.where(record, 1.0, 0.0)
+        rec_f, u_star, lnt_star, cross_u, cross_lnt = lax.cond(
+            any_flip, _event_blk, _no_event, 0)
+        record = rec_f > 0.5
+        n_cross2 = n_cross + rec_f
         term_cross = record & (n_cross2 >= max_crossings)
 
         # Multi-crossing mode: a recorded, non-terminal crossing restarts the
@@ -524,14 +532,19 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         # bisection construction) instead of the step end, so a step that
         # bracketed two crossings finds the second one on the next step —
         # matching the pool's max_roots_per_step semantics
-        # (ops/integrator.py:250) at the cost of one extra RHS + condition
-        # eval per step, paid only when max_crossings > 1.
+        # (ops/integrator.py:250).  The extra RHS + condition eval is paid
+        # only on steps where some lane actually recorded a crossing.
         if n_slots > 1:
             cont_cross = record & jnp.logical_not(term_cross)
-            u_hi = _hermite(u, u_new, f0, f_new, h, tau_hi)
-            lnt_hi = lnt + tau_hi * h
-            f_hi = _rhs(C, u_hi, lnt_hi, erg, is_ph)
-            g_hi = _condition(C, u_hi, lnt_hi)
+            any_rec = jnp.max(rec_f) > 0.5
+
+            def _restart(_):
+                uh = _hermite(u, u_new, f0, f_new, h, tau_hi)
+                lh = lnt + tau_hi * h
+                return uh, lh, _rhs(C, uh, lh, erg, is_ph), _condition(C, uh, lh)
+
+            u_hi, lnt_hi, f_hi, g_hi = lax.cond(
+                any_rec, _restart, lambda _: (u, lnt, f0, g0), 0)
         else:
             cont_cross = jnp.zeros_like(done)
 
