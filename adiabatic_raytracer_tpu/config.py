@@ -112,6 +112,11 @@ class NumericsConfig:
     # 0 = auto: 2*E rounded up to a tile, never below 128.  Set to a large
     # value to disable compaction (launch all E*K lanes).
     tree_queue_width: int = static_field(0)
+    # Conversion-probability evaluation width per tree iteration: crossings
+    # are a small fraction of launched lanes, so P is evaluated on the W2
+    # first crossing lanes (index-packed) with a fallback to all lanes on
+    # overflow.  0 = auto (tree_queue_width/4, never below 128).
+    tree_prob_width: int = static_field(0)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

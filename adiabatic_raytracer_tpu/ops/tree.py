@@ -309,6 +309,10 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     if W <= 0:
         W = max(((2 * E + 127) // 128) * 128, 128)
     W = int(min(E * K, max(W, E)))  # >= E so every lead lane fits
+    W2 = cfg.tree_prob_width
+    if W2 <= 0:
+        W2 = max(W // 4, 128)
+    W2 = int(min(E * K, W2))
     lnt1 = jnp.broadcast_to(jnp.asarray(lnt_end, dtype), (E,))
     lnt1K = jnp.broadcast_to(lnt1[:, None], (E, K))
     ergK = jnp.broadcast_to(erg_inf[:, None], (E, K))
@@ -424,11 +428,36 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=-1) & valid
         cross_ok = has_cross & ~rare_fail & valid
 
+        # conversion-probability compaction: crossings are a small fraction
+        # of launched lanes (~10% at production rates), so evaluate P on the
+        # W2 first crossing lanes (index-packed via top_k on the mask) and
+        # scatter back — per-point values are bit-identical to the full
+        # evaluation; rare bursts with more than W2 crossings fall back to
+        # evaluating every launched lane.
         xc_s = jnp.where(cross_ok[..., None], xc, pos_safe)
         kc_s = jnp.where(cross_ok[..., None], kc, k_safe)
-        pcx_w, _ = _prob_batch(gather(xc_s), gather(kc_s),
-                               gather(ergK * jnp.abs(dwcx)), sc, cfg.compute_dtype)
-        pcx = jnp.where(cross_ok, unflat(expand(pcx_w)), 0.0)
+        erg_c = ergK * jnp.abs(dwcx)
+        if W2 < E * K:
+            ckey = cross_ok.reshape(E * K).astype(jnp.float32)
+            n_co = jnp.sum(ckey)
+            _, cidx = lax.top_k(ckey, W2)
+
+            def compact_prob(_):
+                p2, _ = _prob_batch(flat(xc_s)[cidx], flat(kc_s)[cidx],
+                                    flat(erg_c)[cidx], sc, cfg.compute_dtype)
+                return jnp.zeros((E * K,), p2.dtype).at[cidx].set(p2)
+
+            def full_prob(_):
+                pw, _ = _prob_batch(gather(xc_s), gather(kc_s),
+                                    gather(erg_c), sc, cfg.compute_dtype)
+                return expand(pw)
+
+            pcx_flat = lax.cond(n_co <= W2, compact_prob, full_prob, 0)
+            pcx = jnp.where(cross_ok, pcx_flat.reshape(E, K), 0.0)
+        else:
+            pcx_w, _ = _prob_batch(gather(xc_s), gather(kc_s),
+                                   gather(erg_c), sc, cfg.compute_dtype)
+            pcx = jnp.where(cross_ok, unflat(expand(pcx_w)), 0.0)
 
         # --- record propagation results on the processed nodes ---
         sel_w = jnp.where(valid, top_idx, DROP)

@@ -166,3 +166,20 @@ def test_mc_estimator_unbiased_vs_full_tree():
     diff = abs(float(np.mean(w_mc)) - w_full)
     # 4 sigma: flaky odds ~6e-5 under H0; a real bias of order w_full fails
     assert diff < max(4.0 * se, 1e-12), (diff, se, w_full, float(np.mean(w_mc)))
+
+
+def test_prob_compaction_matches_full():
+    """Forcing tiny tree_prob_width exercises both the compacted
+    conversion-probability path and its overflow fallback; results must be
+    identical to the full evaluation (per-point values are the same fn)."""
+    x, k_init, erg = _events(3)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=3, max_nodes=8)
+    cfg_full = NumericsConfig(interp_points=8, max_crossings=8,
+                              tree_prob_width=10_000)
+    cfg_tiny = NumericsConfig(interp_points=8, max_crossings=8,
+                              tree_prob_width=2)
+    outs = [tree.forward_tree(jax.random.PRNGKey(8), x, k_init, erg, SC, c,
+                              tcfg, lnt_end=0.0) for c in (cfg_full, cfg_tiny)]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                    jax.tree_util.tree_leaves(outs[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
