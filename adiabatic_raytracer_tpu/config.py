@@ -44,6 +44,14 @@ class Scene:
     Mirrors the CLI-visible parameters of the reference
     (Gen_Samples.jl:137-174) plus the hard-coded "fixed parameters" block
     promoted to first-class config.
+
+    Tombstoned fixed-block knobs (Gen_Samples.jl:158-161) — inert in the
+    reference and therefore deliberately NOT carried as fields:
+      * ``ωProp = "Simple"``  — only value ever passed; no other branch exists.
+      * ``CLen_Scale = false`` — conversion-length rescale flag, always off.
+      * ``cutT = 10000``       — legacy trajectory cut, unused by the tree path.
+      * ``gammaF = [1.0, 1.0]``— threaded through every Mvars list
+        (e.g. MainRunner.jl:177) but never read by any physics function.
     """
 
     mass_a: Any = 1e-5        # axion mass [eV]              (--MassA)

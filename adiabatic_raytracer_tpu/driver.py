@@ -491,7 +491,9 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         bt_prob0 = evp[:, 6]
         bt_c_bck = evp[:, 7].astype(np.int64)
         k_init_np = evp[:, 8:11]
-        stats.tree_iters += int(evp[0, 11])  # replicated per event
+        # replicated per event within a shard; under shard_map each shard runs
+        # its own while loop, so aggregate across events (= max over shards)
+        stats.tree_iters += int(evp[:, 11].max())
 
         # --- vectorized row assembly (MainRunner.jl:670-729) ---
         xpos_np = xpos
@@ -609,7 +611,16 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         nxt = None
         if issue_remaining > 0 and (max_batches is None
                                     or batches_issued < max_batches):
-            nxt = issue_batch()
+            try:
+                nxt = issue_batch()
+            except Exception:
+                # a sampling failure must not drop the already-computed
+                # in-flight batch: assemble (and checkpoint) it first so a
+                # resume recomputes nothing
+                if pending is not None:
+                    assemble(pending)
+                    pending = None
+                raise
         if pending is not None:
             assemble(pending, overlap_s=nxt["t_sample"] if nxt else 0.0)
         pending = nxt

@@ -52,7 +52,10 @@ def _prob_batch(pos, k, erg_eff, sc: Scene, compute_dtype: str = "state"):
         erg_eff = erg_eff.astype(jnp.float32)
     p_nonad = jax.vmap(lambda x, kk, e: get_prob_nonad(x, kk, e, sc))(pos, k, erg_eff)
     p_nonad = p_nonad.astype(out_dtype)
-    return 1.0 - jnp.exp(-p_nonad), p_nonad
+    # clamp to [0, 1]: node weights are products of these from a weight-1
+    # root, so the clamp guarantees weight <= 1 — the invariant the work
+    # queue's lead-lane boost (+4.0 in forward_tree) relies on
+    return jnp.clip(1.0 - jnp.exp(-p_nonad), 0.0, 1.0), p_nonad
 
 
 class BacktraceResult(NamedTuple):
