@@ -120,11 +120,37 @@ class NumericsConfig:
     # 0 = auto: 2*E rounded up to a tile, never below 128.  Set to a large
     # value to disable compaction (launch all E*K lanes).
     tree_queue_width: int = static_field(0)
+    # Work-queue lanes per event per tree iteration (0 = auto: mc_nodes + 2,
+    # the bound on simultaneously-pending nodes).  Cutoffs are checked once
+    # per iteration, so a batch may overshoot num_cutoff/max_nodes by up to
+    # K-1 nodes vs the reference; tree_k=1 forces per-node checks (exact
+    # reference cutoff semantics, ~K times more iterations) for audit runs.
+    tree_k: int = static_field(0)
     # Conversion-probability evaluation width per tree iteration: crossings
     # are a small fraction of launched lanes, so P is evaluated on the W2
     # first crossing lanes (index-packed) with a fallback to all lanes on
     # overflow.  0 = auto (tree_queue_width/4, never below 128).
     tree_prob_width: int = static_field(0)
+    # Megakernel engine: evaluate the conversion probability IN-KERNEL at
+    # each recorded crossing (ops/megakernel._prob_nd) instead of a separate
+    # XLA batch after the launch.  Saves one device dispatch (+ its top_k
+    # packing) per tree iteration and is required by the in-kernel MC chain
+    # collapse.  Automatically off for configurations _prob_nd does not
+    # cover (isotropic / boundary-layer / flat scenes) and on the pool
+    # engine.  0 disables (host-side _prob_batch everywhere, the pre-round-3
+    # behavior).
+    in_kernel_prob: int = static_field(1)
+    # Megakernel engine: collapse the pure-MC tree chain INTO the kernel
+    # (ops/megakernel with_chain): once an event is in MC mode with a single
+    # pending node, the kernel continues through crossings (in-kernel
+    # conversion probability + pre-drawn per-node uniforms, species flip,
+    # axion-shell renorm) instead of returning to the host after each — the
+    # dominant sequential-launch count at production cutoffs drops from the
+    # chain length to ~the pre-MC tree depth.  mc_chain_slots bounds the
+    # crossings recorded per launch (chains longer than that continue on the
+    # next iteration).  Requires in_kernel_prob; 0 disables.
+    mc_chain: int = static_field(1)
+    mc_chain_slots: int = static_field(8)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

@@ -138,6 +138,13 @@ def _ff_add(hi, lo, d):
     return hi2, lo3
 
 
+def can_prob(sc: Scene) -> bool:
+    """In-kernel conversion probability covers the production configuration
+    only: anisotropic Melrose dispersion, no boundary layer, curved space."""
+    return (bool(sc.melrose) and not bool(sc.isotropic)
+            and not bool(sc.flat) and float(sc.bndry_lyr) <= 0)
+
+
 class SceneConsts:
     """Static f32 scalars baked into the kernel."""
 
@@ -159,10 +166,11 @@ class SceneConsts:
         self.max_fac = float(cfg.max_dt_factor)
         self.max_steps = int(cfg.max_steps)
         self.interp = int(cfg.interp_points)
-        # f32 root refinement: the bracket starts at tau-width 1/interp
-        # (<= 1/8), so 21 halvings reach 0.125 * 2^-21 = 6e-8 = the f32 ulp
-        # of tau — more iterations cannot move the result
-        self.bisect = int(min(cfg.bisect_iters, 21))
+        # f32 root refinement: the bracket starts at tau-width 1/interp, so
+        # (24 - log2(interp)) halvings reach 2^-24 = the f32 ulp of tau —
+        # more iterations cannot move the result
+        self.bisect = int(min(cfg.bisect_iters,
+                              24 - int(math.log2(max(cfg.interp_points, 1)))))
         self.stall_window = int(cfg.stall_window)
         self.stall_min = float(cfg.stall_min_progress)
         self.species = "photon"  # overridden by integrate_mega
@@ -179,11 +187,29 @@ class SceneConsts:
                * GAUSS_TO_EV2 * HBAR)
             / self.mass_a**2
         )
+        # --- in-kernel conversion probability (_prob_nd) constants ---
+        # The conversion chain always uses the FULL NS mass for the metric
+        # (get_Prob_nonAD closes over the global Mass_NS; Cristoffel computes
+        # GM from Mass_NS regardless of `flat`, RayTracer.jl:512).
+        self.mass_ns_full = float(sc.mass_ns)
+        self.rs0_full = 2.0 * G_NEW * self.mass_ns_full / C_KM**2
+        self.gm_full = G_NEW * self.mass_ns_full / C_KM**2
+        self.ax_g = float(sc.ax_g)
+        b_s = abs(self.b0) * GAUSS_TO_EV2  # B scale in eV^2
+        # P = prob_scale * prefactor * bmag_t^2 / (|vhat.gradE|_t * vloc),
+        # everything else nondimensionalized by mass_a / |b0|
+        self.prob_scale = (
+            (math.pi / 2.0) * (self.ax_g * 1e-9 * b_s) ** 2
+            / (self.mass_a * C_KM * HBAR)
+        )
+        self.can_prob = can_prob(sc)
 
 
-def _metric(C, r, sin_th):
+def _metric(C, r, sin_th, rs0=None):
     inside = r <= C.r_ns
-    rs = jnp.where(inside, C.rs0 * (r / C.r_ns) ** 3, C.rs0)
+    if rs0 is None:
+        rs0 = C.rs0
+    rs = jnp.where(inside, rs0 * (r / C.r_ns) ** 3, rs0)
     one_m = 1.0 - rs / r
     g_tt = jnp.where(
         inside,
@@ -289,6 +315,114 @@ def _condition(C, u, lnt):
     return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / e7**2
 
 
+def _prob_nd(C, u, erg):
+    """In-kernel conversion probability p = 1 - exp(-P_nonAD) at a crossing
+    state (get_Prob_nonAD -> conversion_prob; MainRunner.jl:67-124,
+    RayTracer.jl:1405-1473), nondimensionalized like the RHS: B in |b0|
+    units, momenta/energies in mass_a units — every intermediate O(1) so the
+    f32 reverse-mode vjps are accurate (~1e-6 rel vs the f64 host path).
+
+    Semantics match the host chain exactly (tree._prob_batch):
+      * ksphere = w * erg (the state's celerity times the event energy —
+        NOT |e7|; the host records kc with the erg scale),
+      * w_erg = erg_ax = |e7| / sqrt(1 - rs_full/r)  (MainRunner.jl:114),
+      * t = 0 (the reference evaluates P at zero rotation phase),
+      * full NS mass in the metric and Christoffels,
+      * the probability uses dmu_E WITHOUT the v-group Christoffel term2
+        (dmu_E_2 feeds only the unused cos_w_2 outputs) — so only three
+        gradient pulls are needed: grad(wp), grad(|B|), grad(k.B^i).
+    Requires C.can_prob (aniso Melrose, bndry_lyr<=0, curved).
+    Returns p clamped to [0, 1]."""
+    x1, x2, x3, w1, w2, w3, e7 = u
+    r = x1
+    s_th, c_th = _sincos(x2)
+    s_ph, c_ph = _sincos(x3)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th, rs0=C.rs0_full)
+    inv_ma = 1.0 / C.mass_a
+    kt1 = w1 * (erg * inv_ma)
+    kt2 = w2 * (erg * inv_ma)
+    kt3 = w3 * (erg * inv_ma)
+    wt = jnp.abs(e7) * inv_ma / jnp.sqrt(
+        jnp.maximum(1.0 - C.rs0_full / r, 1e-10))
+
+    def f_wp(a1, a2, a3):
+        s_t, c_t = _sincos(a2)
+        s_p, c_p = _sincos(a3)
+        br, bth, _ = _dipole_unit(C, a1, c_t, s_t, c_p, s_p, 0.0)
+        bz = br * c_t - bth * s_t
+        wp2t = C.wp2_scale * jnp.abs(bz)
+        return jnp.sqrt(jnp.where(a1 <= C.r_ns, 0.0, wp2t))
+
+    def f_bmag(a1, a2, a3):
+        s_t, c_t = _sincos(a2)
+        s_p, c_p = _sincos(a3)
+        br, bth, bph = _dipole_unit(C, a1, c_t, s_t, c_p, s_p, 0.0)
+        return jnp.sqrt(br * br + bth * bth + bph * bph)
+
+    def f_kb(a1, a2, a3):
+        # sum_i k_i B^i with B^i = b_(i) sqrt(g^ii) (contravariant; the
+        # reference's GJ_Model_Sphereical return_comp=1..3 w/o the eV^2
+        # factor, absorbed into prob_scale)
+        s_t, c_t = _sincos(a2)
+        s_p, c_p = _sincos(a3)
+        br, bth, bph = _dipole_unit(C, a1, c_t, s_t, c_p, s_p, 0.0)
+        _, grr, gthth, gpp = _metric(C, a1, s_t, rs0=C.rs0_full)
+        return (kt1 * br * jnp.sqrt(grr) + kt2 * bth * jnp.sqrt(gthth)
+                + kt3 * bph * jnp.sqrt(gpp))
+
+    wp, vjp_wp = jax.vjp(f_wp, x1, x2, x3)
+    dmu_wp = vjp_wp(jnp.ones_like(wp))
+    bmag, vjp_b = jax.vjp(f_bmag, x1, x2, x3)
+    dmu_b = vjp_b(jnp.ones_like(bmag))
+    kb, vjp_kb = jax.vjp(f_kb, x1, x2, x3)
+    term1 = vjp_kb(jnp.ones_like(kb))
+
+    br0, bth0, bph0 = _dipole_unit(C, r, c_th, s_th, c_ph, s_ph, 0.0)
+    bup1 = br0 * jnp.sqrt(g_rr)     # g^ii B_i (contravariant, b0 units)
+    bup2 = bth0 * jnp.sqrt(g_thth)
+    bup3 = bph0 * jnp.sqrt(g_pp)
+
+    gm = C.gm_full
+    cot = c_th / s_th
+    g_rrr = -gm / (r * (r - 2.0 * gm))
+    g_rtt = -(r - 2.0 * gm)
+    g_rpp = -(r - 2.0 * gm) * s_th * s_th
+    g_trt = 1.0 / r
+    g_prp = 1.0 / r
+    g_ptp = cot
+    g_ttr = 1.0 / r
+    # (G_tpp, G_ppr, G_ppt of the reference feed only the dropped term2)
+
+    kmag = jnp.sqrt(g_rr * kt1**2 + g_thth * kt2**2 + g_pp * kt3**2)
+    ct = kb / (kmag * bmag)
+    st2 = jnp.maximum(1.0 - ct * ct, 0.0)
+    # Christoffel correction of grad(ctheta_B) (RayTracer.jl:1437-1439)
+    t2b_r = kt1 * bup1 * g_rrr + kt2 * g_trt * bup2 + kt3 * g_prp * bup3
+    t2b_t = kt1 * bup2 * g_rtt + kt3 * g_ptp * bup3 + kt2 * bup1 * g_ttr
+    t2b_p = (kt1 * bup3 * g_rpp + kt2 * (-s_th * c_th) * bup3
+             + kt3 * (1.0 / r) * bup1 + kt3 * cot * bup2)
+    dmu_ct = tuple(
+        (t1 + t2) / (kmag * bmag) - ct * db / bmag
+        for t1, t2, db in zip(term1, (t2b_r, t2b_t, t2b_p), dmu_b))
+
+    wp2 = wp * wp
+    wt2 = wt * wt
+    pre_f = wp / jnp.abs(wt2 * wt2 * wt
+                         + ct * ct * wt * (wp2 * wp2 - 2.0 * wp2 * wt2))
+    dmu_e = tuple(
+        pre_f * (wt2 * wt2 * st2 * dw
+                 - wt2 * ct * wp * (wt2 - wp2) * dc)
+        for dw, dc in zip(dmu_wp, dmu_ct))
+    vhat_grad_e = (g_rr * kt1 * dmu_e[0] + g_thth * kt2 * dmu_e[1]
+                   + g_pp * kt3 * dmu_e[2]) / kmag
+    vloc = jnp.sqrt(jnp.maximum(wt2 - 1.0, 1e-12)) / wt
+    prefactor = wt2 * wt2 * st2 / (
+        ct * ct * wp2 * (wp2 - 2.0 * wt2) + wt2 * wt2)
+    p_nonad = C.prob_scale * prefactor * bmag * bmag / (
+        jnp.abs(vhat_grad_e) * vloc)
+    return jnp.clip(1.0 - _exp32(-p_nonad), 0.0, 1.0)
+
+
 def _rhs(C, u, lnt, erg, is_ph):
     """Mixed-species Hamilton equations via ONE reverse-mode vjp of the
     nondimensionalized Hamiltonian (ops/propagate.py:make_rhs).  All 7
@@ -351,19 +485,38 @@ def _hermite(u0, u1, f0, f1, h, tau):
     )
 
 
-def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
-                 save_ref, *, C: SceneConsts, max_crossings: int):
+def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
+                 cross_ref, save_ref, pcx_ref, *, C: SceneConsts,
+                 max_crossings: int, with_prob: bool = False,
+                 with_chain: bool = False):
     """One tile of rays, full adaptive integration.
 
     Layouts put the 128-lane axis last and the component index on the middle
     (sublane-packed) axis:
     uin/uout: [T, 8, 128]  (7 state comps + pad)
-    aux:      [T, 8, 128]  (lnt0, lnt1, erg, x0_cart(3), is_photon, pad)
+    aux:      [T, 8, 128]  (lnt0, lnt1, erg, x0_cart(3), is_photon,
+              chain_cap)
+    uni:      [T, n_slots, 128]  (pre-drawn MC uniforms, one per crossing
+              slot, from fold_in(event_key, node_index) — the chain draw
+              stream is exactly the host tree engine's)
     lnt:      [T, 2, 128]  (final lnt hi/lo)
-    diag:     [T, 8, 128]  (steps, done-code, n_cross, g-at-end, pad)
+    diag:     [T, 8, 128]  (steps, done-code, n_cross, g-at-end,
+              chain_nodes, final is_photon, pad)
     cross:    [T, 8*n_slots, 128]  (per slot: crossing u(7) + lnt_c)
     save:     [T, 8, 128]  (mid-trajectory state: u(7) + pad; the ntimes=3
               save-grid midpoint, Hermite-interpolated in-kernel)
+    pcx:      [T, n_slots, 128]  (per slot: in-kernel conversion probability
+              at the recorded crossing; zeros unless with_prob)
+
+    with_chain: lanes whose aux chain_cap c > 0 run the pure-MC tree chain
+    IN-KERNEL (MainRunner.jl:281-293 collapsed): at a recorded crossing the
+    conversion probability is evaluated in-kernel, the child species is drawn
+    from the pre-supplied uniform for that node index, the momenta are
+    renormalized onto the axion shell with the event energy (the host
+    relaunch's k_norm_Cart ax_fix semantics, RayTracer.jl:664-668), and
+    integration continues — until the ray exits, a rare-fail crossing is hit,
+    or c crossings have been recorded (the last child is then left pending
+    for the host).  Requires with_prob.
     """
     n_slots = max_crossings
     u = tuple(uin_ref[:, i, :] for i in range(7))
@@ -373,9 +526,13 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     lnt1 = aux_ref[:, 1, :]
     erg = aux_ref[:, 2, :]
     x0c = tuple(aux_ref[:, 3 + i, :] for i in range(3))
-    is_ph = aux_ref[:, 6, :]
+    is_ph0 = aux_ref[:, 6, :]
+    chain_cap = aux_ref[:, 7, :] if with_chain else None
+    uni = (tuple(uni_ref[:, s, :] for s in range(n_slots)) if with_chain
+           else None)
     lnt_mid = 0.5 * (lnt + lnt1)
 
+    is_ph = is_ph0
     f0 = _rhs(C, u, lnt, erg, is_ph)
     g0 = _condition(C, u, lnt)
 
@@ -399,9 +556,12 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     cross_u = tuple(tuple(jnp.zeros_like(lnt) for _ in range(7))
                     for _ in range(n_slots))
     cross_lnt = tuple(jnp.zeros_like(lnt) for _ in range(n_slots))
+    cross_p = tuple(jnp.zeros_like(lnt) for _ in range(n_slots))
     save_mid = tuple(jnp.zeros_like(lnt) for _ in range(7))
     code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
     lnt_ck = lnt
+    seg_cross = jnp.zeros_like(lnt)   # crossings since current segment start
+    nodes_used = jnp.zeros_like(lnt)  # in-kernel chain restarts
 
     def cond_fn(carry):
         done_f = carry[0]
@@ -410,7 +570,8 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
 
     def body(carry):
         (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-         cross_lnt, save_mid, code, lnt_ck, it) = carry
+         cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
+         nodes_used, it) = carry
         done = done_f > 0.5
         active = jnp.logical_not(done)
         h = jnp.clip(lnt1 - lnt, 0.0, None)
@@ -504,28 +665,63 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
             for p, p0 in zip(pc, x0c):
                 within = within & (jnp.abs(p) < jnp.abs(p0) * sfac) \
                     & (jnp.abs(p) > jnp.abs(p0) / sfac)
-            start_dup = within & (n_cross < 0.5)
+            # first crossing of the current SEGMENT (== launch for non-chain
+            # lanes; chain restarts reset the segment)
+            start_dup = within & (seg_cross < 0.5)
             rec = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) \
                 & (n_cross < max_crossings)
+            p_s = _prob_nd(C, u_s, erg) if with_prob else zero
+            # rare-fail guard at the crossing (MainRunner.jl:213-224):
+            # any Cartesian proper-velocity component > 1.  Transform as the
+            # host does (celerity_to_cart_vel, exterior lapse, mass_eff).
+            if with_chain:
+                a_l = 1.0 - C.rs0 / jnp.maximum(r_s, 0.5 * C.r_ns)
+                v_r = u_s[3] * erg * jnp.sqrt(jnp.maximum(a_l, 1e-6)) * a_l
+                v_t = u_s[4] * erg / r_s * a_l
+                v_p = u_s[5] * erg / (r_s * sth) * a_l
+                v_tmp = sth * v_r + cth * v_t
+                vx = cph * v_tmp - sph * v_p
+                vy = sph * v_tmp + cph * v_p
+                vz = cth * v_r - sth * v_t
+                rare_s = ((jnp.abs(vx) > 1.0) | (jnp.abs(vy) > 1.0)
+                          | (jnp.abs(vz) > 1.0))
+            else:
+                rare_s = jnp.zeros_like(done) > 0.5
             new_cu = []
             new_cl = []
+            new_cp = []
             for slot in range(n_slots):
                 hit = rec & (jnp.abs(n_cross - slot) < 0.5)
                 new_cu.append(tuple(
                     jnp.where(hit, us, cu)
                     for us, cu in zip(u_s, cross_u[slot])))
                 new_cl.append(jnp.where(hit, lnt_s, cross_lnt[slot]))
+                new_cp.append(jnp.where(hit, p_s, cross_p[slot]))
             return (jnp.where(rec, 1.0, 0.0), u_s, lnt_s,
-                    tuple(new_cu), tuple(new_cl))
+                    tuple(new_cu), tuple(new_cl), tuple(new_cp),
+                    p_s, jnp.where(rare_s, 1.0, 0.0), pc)
 
         def _no_event(_):
-            return zero, u, lnt, cross_u, cross_lnt
+            return (zero, u, lnt, cross_u, cross_lnt, cross_p, zero, zero,
+                    (x0c[0], x0c[1], x0c[2]))
 
-        rec_f, u_star, lnt_star, cross_u, cross_lnt = lax.cond(
-            any_flip, _event_blk, _no_event, 0)
+        (rec_f, u_star, lnt_star, cross_u, cross_lnt, cross_p, p_star,
+         rare_f, pc_star) = lax.cond(any_flip, _event_blk, _no_event, 0)
         record = rec_f > 0.5
         n_cross2 = n_cross + rec_f
-        term_cross = record & (n_cross2 >= max_crossings)
+
+        if with_chain:
+            # Chain continuation: past crossing j (0-indexed) iff j+1 <
+            # chain_cap; the host caps chain_cap at min(n_slots, node
+            # budget) so a continuing segment always has a free slot.
+            is_chain = chain_cap > 0.5
+            chain_go = (record & is_chain & (rare_f < 0.5)
+                        & (n_cross2 < chain_cap - 0.5))
+            term_cross = record & ~chain_go & (
+                is_chain | (n_cross2 >= max_crossings))
+        else:
+            chain_go = jnp.zeros_like(done)
+            term_cross = record & (n_cross2 >= max_crossings)
 
         # Multi-crossing mode: a recorded, non-terminal crossing restarts the
         # ray from the root's POST side (tau_hi keeps the new sign by
@@ -535,8 +731,9 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         # (ops/integrator.py:250).  The extra RHS + condition eval is paid
         # only on steps where some lane actually recorded a crossing.
         if n_slots > 1:
-            cont_cross = record & jnp.logical_not(term_cross)
-            any_rec = jnp.max(rec_f) > 0.5
+            cont_cross = record & jnp.logical_not(term_cross) \
+                & jnp.logical_not(chain_go)
+            any_rec = jnp.max(jnp.where(cont_cross, 1.0, 0.0)) > 0.5
 
             def _restart(_):
                 uh = _hermite(u, u_new, f0, f_new, h, tau_hi)
@@ -547,6 +744,47 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
                 any_rec, _restart, lambda _: (u, lnt, f0, g0), 0)
         else:
             cont_cross = jnp.zeros_like(done)
+
+        # --- in-kernel MC chain restart ---
+        if with_chain:
+            any_chain = jnp.max(jnp.where(chain_go, 1.0, 0.0)) > 0.5
+
+            def _chain_restart(_):
+                # child relaunch semantics (propagate_mega's k_norm_Cart with
+                # ax_fix=True, full NS mass): renormalize the crossing
+                # momenta onto the axion shell at the EVENT energy
+                r_s = jnp.maximum(u_star[0], C.r_ns)
+                s_t, _c_t = _sincos(u_star[1])
+                g_tt_f, g_rr_f, g_thth_f, g_pp_f = _metric(
+                    C, r_s, s_t, rs0=C.rs0_full)
+                wsq = (g_rr_f * u_star[3] ** 2 + g_thth_f * u_star[4] ** 2
+                       + g_pp_f * u_star[5] ** 2)
+                et = erg * (1.0 / C.mass_a)
+                nrm = jnp.sqrt(jnp.maximum(
+                    (-g_tt_f * et * et - 1.0) / (et * et * wsq), 0.0))
+                u_c = (u_star[0], u_star[1], u_star[2], u_star[3] * nrm,
+                       u_star[4] * nrm, u_star[5] * nrm, u_star[6])
+                # MC draw: uniform for THIS node index, pre-drawn per slot
+                # (slot = n_cross before this crossing's increment)
+                u_draw = jnp.zeros_like(done_f)
+                for slot in range(n_slots):
+                    u_draw = jnp.where(jnp.abs(n_cross - slot) < 0.5,
+                                       uni[slot], u_draw)
+                convert = u_draw < p_star
+                ph_c = jnp.where(chain_go & convert, 1.0 - is_ph, is_ph)
+                f_c = _rhs(C, u_c, lnt_star, erg, ph_c)
+                g_c = _condition(C, u_c, lnt_star)
+                return u_c, ph_c, f_c, g_c
+
+            u_ch, is_ph_ch, f_ch, g_ch = lax.cond(
+                any_chain, _chain_restart,
+                lambda _: (u, is_ph, f0, g0), 0)
+            is_ph = jnp.where(chain_go, is_ph_ch, is_ph)
+            x0c = tuple(jnp.where(chain_go, p, x) for p, x in zip(pc_star, x0c))
+            seg_cross = jnp.where(chain_go, 0.0, seg_cross + rec_f)
+            nodes_used = nodes_used + jnp.where(chain_go, 1.0, 0.0)
+        else:
+            seg_cross = seg_cross + rec_f
 
         # ntimes=3 mid-point save (Hermite at the save-grid midpoint)
         in_step_mid = accept & (lnt < lnt_mid) & (lnt + h >= lnt_mid)
@@ -565,7 +803,9 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
             hi = jnp.where(term_cross, u_star[j], hi)
             if n_slots > 1:
                 hi = jnp.where(cont_cross, u_hi[j], hi)
-            lo = jnp.where(term_cross | cont_cross, 0.0, lo)
+            if with_chain:
+                hi = jnp.where(chain_go, u_ch[j], hi)
+            lo = jnp.where(term_cross | cont_cross | chain_go, 0.0, lo)
             u2.append(hi)
             u_lo2.append(lo)
         u2 = tuple(u2)
@@ -574,7 +814,9 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         lnt2 = jnp.where(term_cross, lnt_star, lnt2)
         if n_slots > 1:
             lnt2 = jnp.where(cont_cross, lnt_hi, lnt2)
-        lnt_lo2 = jnp.where(term_cross | cont_cross, 0.0, lnt_lo2)
+        if with_chain:
+            lnt2 = jnp.where(chain_go, lnt_star, lnt2)
+        lnt_lo2 = jnp.where(term_cross | cont_cross | chain_go, 0.0, lnt_lo2)
 
         f02 = tuple(jnp.where(accept, fn, ff) for fn, ff in zip(f_new, f0))
         g02 = jnp.where(accept, g_new, g0)
@@ -582,6 +824,10 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
             f02 = tuple(jnp.where(cont_cross, fh, ff)
                         for fh, ff in zip(f_hi, f02))
             g02 = jnp.where(cont_cross, g_hi, g02)
+        if with_chain:
+            f02 = tuple(jnp.where(chain_go, fc, ff)
+                        for fc, ff in zip(f_ch, f02))
+            g02 = jnp.where(chain_go, g_ch, g02)
 
         steps2 = steps + jnp.where(active, 1.0, 0.0)
 
@@ -600,13 +846,17 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
         done2_f = jnp.where(done2, 1.0, 0.0)
 
         return (done2_f, u2, u_lo2, lnt2, lnt_lo2, dt_next, f02, g02, steps2,
-                n_cross2, cross_u, cross_lnt, save_mid, code2, lnt_ck2, it + 1)
+                n_cross2, cross_u, cross_lnt, cross_p, save_mid, code2,
+                lnt_ck2, is_ph, x0c, seg_cross, nodes_used, it + 1)
 
     carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-             cross_lnt, save_mid, code, lnt_ck, jnp.zeros((), jnp.int32))
+             cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph,
+             (x0c[0], x0c[1], x0c[2]), seg_cross, nodes_used,
+             jnp.zeros((), jnp.int32))
     out = lax.while_loop(cond_fn, body, carry)
     (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-     cross_lnt, save_mid, code, lnt_ck, _) = out
+     cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
+     nodes_used, _) = out
 
     for i in range(7):
         uout_ref[:, i, :] = u[i] + u_lo[i]
@@ -617,12 +867,15 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
     diag_ref[:, 1, :] = code
     diag_ref[:, 2, :] = n_cross
     diag_ref[:, 3, :] = g0
-    for i in range(4, 8):
+    diag_ref[:, 4, :] = nodes_used
+    diag_ref[:, 5, :] = is_ph
+    for i in range(6, 8):
         diag_ref[:, i, :] = jnp.zeros_like(steps)
     for slot in range(n_slots):
         for i in range(7):
             cross_ref[:, 8 * slot + i, :] = cross_u[slot][i]
         cross_ref[:, 8 * slot + 7, :] = cross_lnt[slot]
+        pcx_ref[:, slot, :] = cross_p[slot]
     for i in range(7):
         save_ref[:, i, :] = save_mid[i]
     save_ref[:, 7, :] = jnp.zeros_like(u[0])
@@ -630,17 +883,23 @@ def _mega_kernel(uin_ref, aux_ref, uout_ref, lnt_ref, diag_ref, cross_ref,
 
 def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
                    *, max_crossings: int = 1, tile_rows: int = 1,
-                   is_photon=None, species: str = "photon"):
+                   is_photon=None, species: str = "photon",
+                   with_prob: bool = False, chain_cap=None, uniforms=None):
     """Run the megakernel over a [B, 7] state batch (B a multiple of
     128*tile_rows).  Returns (u_final [B,7], lnt_final [B], steps [B],
     code [B], n_cross [B], cross_u [B, n_slots, 7], cross_lnt [B, n_slots],
-    save_mid [B, 7]).  species: 'photon' | 'axion' | 'mixed' (static)."""
+    save_mid [B, 7], pcx [B, n_slots], chain_nodes [B], is_ph_out [B]).
+    species: 'photon' | 'axion' | 'mixed' (static).  with_prob: evaluate the
+    conversion probability in-kernel at each recorded crossing (requires
+    SceneConsts.can_prob).  chain_cap [B] (f32; 0 = off) + uniforms
+    [B, max_crossings] enable the in-kernel MC chain (implies with_prob)."""
     B = u0.shape[0]
     L = 128
     assert B % (L * tile_rows) == 0, B
     R = B // L
     f32 = jnp.float32
     n_slots = max_crossings
+    with_chain = chain_cap is not None
 
     def to_rl(x):
         return x.astype(f32).reshape(R, L)
@@ -654,16 +913,27 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     aux = jnp.stack([to_rl(lnt0), to_rl(lnt1), to_rl(erg),
                      to_rl(x0_cart[:, 0]), to_rl(x0_cart[:, 1]),
                      to_rl(x0_cart[:, 2]), to_rl(is_ph),
-                     jnp.zeros((R, L), f32)], axis=1)            # [R, 8, L]
+                     to_rl(chain_cap) if with_chain
+                     else jnp.zeros((R, L), f32)], axis=1)       # [R, 8, L]
+    if with_chain:
+        uni = jnp.stack([to_rl(uniforms[:, s]) for s in range(n_slots)],
+                        axis=1)                                  # [R, S, L]
+    else:
+        uni = jnp.zeros((R, n_slots, L), f32)
 
     C = SceneConsts(sc, cfg)
     C.species = species
-    kernel = functools.partial(_mega_kernel, C=C, max_crossings=max_crossings)
+    if not C.can_prob:
+        with_prob = False
+        with_chain = False
+    with_prob = with_prob or with_chain
+    kernel = functools.partial(_mega_kernel, C=C, max_crossings=max_crossings,
+                               with_prob=with_prob, with_chain=with_chain)
     grid = (R // tile_rows,)
     bs = lambda d: pl.BlockSpec((tile_rows, d, L), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
-        uout, lntout, diag, cross, save = pl.pallas_call(
+        uout, lntout, diag, cross, save, pcx = pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((R, 8, L), f32),
@@ -671,11 +941,13 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
                 jax.ShapeDtypeStruct((R, 8, L), f32),
                 jax.ShapeDtypeStruct((R, 8 * n_slots, L), f32),
                 jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, n_slots, L), f32),
             ),
             grid=grid,
-            in_specs=[bs(8), bs(8)],
-            out_specs=(bs(8), bs(2), bs(8), bs(8 * n_slots), bs(8)),
-        )(uin, aux)
+            in_specs=[bs(8), bs(8), bs(n_slots)],
+            out_specs=(bs(8), bs(2), bs(8), bs(8 * n_slots), bs(8),
+                       bs(n_slots)),
+        )(uin, aux, uni)
     uf = jnp.stack([uout[:, i, :].reshape(B) for i in range(7)], axis=1)
     lntf = (lntout[:, 0, :] + lntout[:, 1, :]).reshape(B)
     dg = lambda i: diag[:, i, :].reshape(B)
@@ -686,12 +958,63 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     crlnt = jnp.stack([cross[:, 8 * slot + 7, :].reshape(B)
                        for slot in range(n_slots)], axis=1)       # [B, n_slots]
     save_mid = jnp.stack([save[:, i, :].reshape(B) for i in range(7)], axis=1)
-    return (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid)
+    pcx_out = jnp.stack([pcx[:, slot, :].reshape(B)
+                         for slot in range(n_slots)], axis=1)     # [B, n_slots]
+    return (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid, pcx_out,
+            dg(4), dg(5))
+
+
+def flops_per_step(sc: Scene, cfg: NumericsConfig, species="photon"):
+    """Analytic per-lane flop model of one attempted megakernel step,
+    derived from XLA's own cost analysis of the kernel's building blocks
+    (the pure jnp functions _rhs and _condition, lowered for CPU).
+
+    Structure per attempted step (see _mega_kernel.body):
+      6 x _rhs (stages 2-6 + f_new; f0 reused)
+      (interp_points - 1) x (_condition + 7-comp Hermite) interior scan
+      + 1 endpoint _condition
+      + controller / error-norm / float-float commit (counted via _hermite
+        cost x 2 as a structural estimate)
+    The event block (bisection + records) is EXCLUDED — it runs under a
+    tile-level scf.if on a minority of steps; its cost shows up as the gap
+    between modeled and measured throughput.  Returns flops per lane-step.
+    """
+    import jax
+
+    C = SceneConsts(sc, cfg)
+    C.species = species
+
+    def cost(f, *args):
+        c = jax.jit(f, backend="cpu").lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+
+    z = jnp.zeros((128,), jnp.float32)
+    u7 = (z + 15.0, z + 1.0, z + 0.5, z + 0.3, z + 0.2, z + 0.1, z - 1e-5)
+    rhs_f = cost(lambda u, lnt: _rhs(C, u, lnt, z + 1e-5, z + 1.0), u7, z - 5.0)
+    cond_f = cost(lambda u, lnt: _condition(C, u, lnt), u7, z - 5.0)
+    herm_f = cost(
+        lambda a, b, fa, fb: _hermite(a, b, fa, fb, z + 0.1, z + 0.5),
+        u7, u7, u7, u7)
+    per_lane = 128.0
+    rhs = rhs_f / per_lane
+    cond = cond_f / per_lane
+    herm = herm_f / per_lane
+    k = max(int(cfg.interp_points), 1)
+    return 6.0 * rhs + (k - 1) * (cond + herm) + cond + 2.0 * herm
+
+
+# Estimated VPU f32 peak of one v5e chip: 8x128 lanes x 4 ALUs x ~1.5 GHz
+# x 2 (FMA) ~ 12.3 TFLOP/s.  Elementwise-heavy code cannot reach the FMA
+# peak, but the constant gives a consistent utilization denominator.
+VPU_PEAK_F32 = 12.3e12
 
 
 def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
                    delta_w, lnt0, lnt1, is_photon, max_crossings: int = 1,
-                   species: str = "mixed", tile_rows: int = 1):
+                   species: str = "mixed", tile_rows: int = 1,
+                   with_prob: bool = False, chain_cap=None, uniforms=None):
     """PropagateResult-compatible wrapper around the megakernel
     (drop-in for ops/propagate.propagate on TPU; f32 throughout with
     float-float state inside the kernel).
@@ -720,12 +1043,17 @@ def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
         return jnp.pad(a, padding, constant_values=fill)
 
     lnt0p = pad(lnt0)
+    with_chain = chain_cap is not None and can_prob(sc)
+    with_prob = (with_prob and can_prob(sc)) or with_chain
     out = integrate_mega(
         pad(u0, 1.0), lnt0p, pad(lnt1, -1e30), pad(erg, 1.0), pad(x0_cart, 1e30),
         sc, cfg, max_crossings=max_crossings, tile_rows=tile_rows,
-        is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5, species=species)
-    uf, lntf, steps, code, n_cross, cru, crlnt, save_mid = [o[:B] if o.ndim == 1
-                                                            else o[:B] for o in out]
+        is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5, species=species,
+        with_prob=with_prob,
+        chain_cap=pad(chain_cap) if with_chain else None,
+        uniforms=pad(uniforms) if with_chain else None)
+    (uf, lntf, steps, code, n_cross, cru, crlnt, save_mid, pcx,
+     chain_nodes, is_ph_out) = [o[:B] for o in out]
 
     dtype = x0_cart.dtype
     uf = uf.astype(dtype)
@@ -772,4 +1100,7 @@ def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
         ns_hit=code == 2.0,
         maxed=(code == 4.0) | (code == 5.0),
         steps=steps.astype(jnp.int32),
+        pcx=pcx.astype(dtype) if with_prob else None,
+        chain_nodes=chain_nodes.astype(jnp.int32) if with_chain else None,
+        final_is_ph=(is_ph_out > 0.5) if with_chain else None,
     )

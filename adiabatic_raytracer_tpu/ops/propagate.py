@@ -53,6 +53,12 @@ class PropagateResult(NamedTuple):
     ns_hit: Any      # [B] bool
     maxed: Any       # [B] bool
     steps: Any       # [B]
+    pcx: Any = None  # [B, MAXC] in-kernel conversion probabilities at the
+                     # recorded crossings (megakernel with_prob path only;
+                     # None from the pool engine)
+    chain_nodes: Any = None  # [B] in-kernel MC chain restarts (megakernel
+                             # chain path only)
+    final_is_ph: Any = None  # [B] species at the end of the in-kernel chain
 
 
 def _cast_tree(x, dtype):

@@ -101,6 +101,7 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             is_photon=jnp.zeros(E, bool),
             max_crossings=cfg.max_crossings,
             species="axion",
+            with_prob=bool(cfg.in_kernel_prob),
         )
     else:
         res = propagate(
@@ -137,12 +138,18 @@ def backtrace_from_result(xpos, k_back, erg_inf, res, sc: Scene,
         [keep_front, jnp.ones((E, 1), bool)], axis=1
     )
 
-    erg_eff = erg_inf[:, None] * jnp.abs(res.dwc)
-    flat_pos = res.xc.reshape(-1, 3)
-    flat_k = res.kc.reshape(-1, 3)
-    flat_erg = erg_eff.reshape(-1)
-    pc_flat, _ = _prob_batch(flat_pos, flat_k, flat_erg, sc_b, cfg.compute_dtype)
-    pc = jnp.where(valid, pc_flat.reshape(E, MAXC), 0.0)
+    if getattr(res, "pcx", None) is not None:
+        # in-kernel conversion probabilities (megakernel _prob_nd; invariant
+        # under the backtrace's B -> -B, so the same kernel value applies)
+        pc = jnp.where(valid, res.pcx, 0.0)
+    else:
+        erg_eff = erg_inf[:, None] * jnp.abs(res.dwc)
+        flat_pos = res.xc.reshape(-1, 3)
+        flat_k = res.kc.reshape(-1, 3)
+        flat_erg = erg_eff.reshape(-1)
+        pc_flat, _ = _prob_batch(flat_pos, flat_k, flat_erg, sc_b,
+                                 cfg.compute_dtype)
+        pc = jnp.where(valid, pc_flat.reshape(E, MAXC), 0.0)
 
     weight = jnp.prod(jnp.where(valid, 1.0 - pc, 1.0), axis=1)
 
@@ -271,8 +278,16 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     dtype = xpos.dtype
     P = 2 * tcfg.max_nodes + 4
     NS = cfg.n_save
-    K = int(min(P, tcfg.mc_nodes + 2))
+    K = int(min(P, cfg.tree_k if cfg.tree_k > 0 else tcfg.mc_nodes + 2))
     eidx = jnp.arange(E)
+    # in-kernel MC chain collapse (megakernel with_chain): static gate
+    mega_chain = (cfg.engine == "mega" and bool(cfg.mc_chain)
+                  and bool(cfg.in_kernel_prob))
+    if mega_chain:
+        from adiabatic_raytracer_tpu.ops.megakernel import can_prob as _cp
+
+        mega_chain = _cp(sc)
+    CH = int(max(1, min(cfg.mc_chain_slots, tcfg.max_nodes + 2)))
 
     key = jnp.asarray(key)
     per_event = key.shape[:1] == (E,) and (key.ndim == 1 or key.shape == (E, 2))
@@ -385,6 +400,31 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         # event's running count (the reference's `count` at pop time)
         count_now = c.count[:, None] + 1 + jrange
 
+        # --- in-kernel MC chain eligibility ---
+        # Only when the event has exactly ONE pending node and is in MC mode
+        # (MainRunner.jl:281-293): the chain's node indices are then
+        # consecutive from count_now, so the pre-drawn per-node uniforms
+        # below replicate the host draw stream exactly.  cap counts the
+        # crossings the kernel may record (budget: node index may reach
+        # max_nodes + 1, the reference's post-check overshoot), bounded by
+        # the CH crossing slots; cap == 1 lanes run the pre-chain semantics
+        # (terminate at first crossing, no in-kernel draw).
+        keys_rep = jnp.repeat(keys, K, axis=0)
+        if mega_chain:
+            n_pend = jnp.sum(pending & active[:, None], axis=1)
+            chain_ev = (n_pend == 1) & (c.count + 1 > tcfg.mc_nodes)
+            chain_lane = valid & chain_ev[:, None] & (jrange == 0)
+            capf = jnp.clip(
+                (tcfg.max_nodes + 2 - count_now).astype(jnp.float32),
+                1.0, float(CH))
+            cap = jnp.where(chain_lane, capf, 1.0)
+            chainy = chain_lane & (cap > 1.5)
+            uni = jnp.stack([
+                jax.vmap(lambda kk: jax.random.uniform(kk, dtype=jnp.float32))(
+                    jax.vmap(jax.random.fold_in)(keys_rep,
+                                                 flat(count_now) + i))
+                for i in range(CH)], axis=1).reshape(E, K, CH)
+
         # --- global work-queue compaction: pick the W lanes to launch ---
         if W < E * K:
             gkey = jnp.where(valid, w_node.astype(skey), -jnp.inf)
@@ -416,7 +456,11 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
             res = propagate_mega(gather(pos0), gather(k0), sc, cfg,
-                                 max_crossings=1, **prop_kw)
+                                 max_crossings=CH if mega_chain else 1,
+                                 with_prob=bool(cfg.in_kernel_prob),
+                                 chain_cap=gather(cap) if mega_chain else None,
+                                 uniforms=gather(uni) if mega_chain else None,
+                                 **prop_kw)
         else:
             res = propagate(gather(pos0), gather(k0), sc, cfg,
                             max_crossings=jnp.ones(W, jnp.int32), **prop_kw)
@@ -427,8 +471,37 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         tcx = unflat(expand(res.tc[:, 0]))
         dwcx = unflat(expand(res.dwc[:, 0]))
 
+        if mega_chain:
+            # chain outputs: crossing index m = ncl, in-kernel restarts r_ch
+            ncl = unflat(expand(res.n_cross))                    # [E, K]
+            cutl = unflat(expand(res.cut_short))
+            r_ch = jnp.where(chainy, unflat(expand(res.chain_nodes)), 0)
+            ended3 = chainy & cutl
+            xc_all = unflat(expand(res.xc))                      # [E,K,CH,3]
+            kc_all = unflat(expand(res.kc))
+            tc_all = unflat(expand(res.tc))
+            dwc_all = unflat(expand(res.dwc))
+            pcx_all = unflat(expand(res.pcx))
+            # pending-child gate: the kernel stopped AT the budget (m == cap)
+            # and the last crossing passes the host rare check; a stop below
+            # budget means the kernel itself flagged the crossing rare
+            last = jnp.clip(ncl - 1, 0, CH - 1)
+            kc_last = jnp.zeros_like(kc_all[:, :, 0, :])
+            for s in range(CH):
+                kc_last = jnp.where((last == s)[..., None],
+                                    kc_all[:, :, s, :], kc_last)
+            rare_last = jnp.any(jnp.abs(kc_last) > 1.0, axis=-1)
+            pend_child = (ended3 & (ncl.astype(cap.dtype) >= cap - 0.5)
+                          & ~rare_last)
+            rare_term = ended3 & ~pend_child
+            exit3 = chainy & (r_ch >= 1) & ~cutl
+
         # "rare fail" guard (MainRunner.jl:213-224): |velocity component| > 1
         rare_fail = has_cross & jnp.any(jnp.abs(kc) > 1.0, axis=-1) & valid
+        if mega_chain:
+            # chainy lanes: slot-0 rare is the KERNEL's decision (a chain
+            # that continued past slot 0 treated it as clean)
+            rare_fail = jnp.where(chainy, rare_term & (r_ch == 0), rare_fail)
         cross_ok = has_cross & ~rare_fail & valid
 
         # conversion-probability compaction: crossings are a small fraction
@@ -440,7 +513,10 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         xc_s = jnp.where(cross_ok[..., None], xc, pos_safe)
         kc_s = jnp.where(cross_ok[..., None], kc, k_safe)
         erg_c = ergK * jnp.abs(dwcx)
-        if W2 < E * K:
+        if getattr(res, "pcx", None) is not None:
+            # in-kernel probabilities: no separate device batch needed
+            pcx = jnp.where(cross_ok, unflat(expand(res.pcx[:, 0])), 0.0)
+        elif W2 < E * K:
             ckey = cross_ok.reshape(E * K).astype(jnp.float32)
             n_co = jnp.sum(ckey)
             _, cidx = lax.top_k(ckey, W2)
@@ -471,12 +547,35 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         traj_k = unflat(expand(res.traj))
         mom_k = unflat(expand(res.mom))
+        ferg_v = unflat(expand(res.erg[:, -1]))
+        ftime_v = unflat(expand(res.final_lnt))
+        if mega_chain:
+            # launch-end state (the terminal CHAIN node's endpoint), saved
+            # before node A's fields are redirected to crossing 0
+            end_pos = traj_k[:, :, -1, :]
+            end_mom = mom_k[:, :, -1, :]
+            end_ferg = ferg_v
+            end_ftime = ftime_v
+            mid = r_ch >= 1   # node A ended at crossing 0, not at launch end
+            xc0 = xc_all[:, :, 0, :]
+            kc0 = kc_all[:, :, 0, :]
+            ferg_v = jnp.where(mid, dwc_all[:, :, 0] * ergK, ferg_v)
+            ftime_v = jnp.where(
+                mid, jnp.log(jnp.maximum(tc_all[:, :, 0], 1e-300)), ftime_v)
+            traj_A = jnp.concatenate(
+                [traj_k[:, :, :1, :],
+                 jnp.repeat(xc0[:, :, None, :], NS - 1, axis=2)], axis=2)
+            mom_A = jnp.concatenate(
+                [mom_k[:, :, :1, :],
+                 jnp.repeat(kc0[:, :, None, :], NS - 1, axis=2)], axis=2)
+            traj_k = jnp.where(mid[..., None, None], traj_A, traj_k)
+            mom_k = jnp.where(mid[..., None, None], mom_A, mom_k)
         pl = pl._replace(
             status=sc2(pl.status, jnp.full((E, K), 2, jnp.int32), sel_w),
             fpos=sc2(pl.fpos, traj_k[:, :, -1, :], sel_w),
             fmom=sc2(pl.fmom, mom_k[:, :, -1, :], sel_w),
-            ferg=sc2(pl.ferg, unflat(expand(res.erg[:, -1])), sel_w),
-            ftime=sc2(pl.ftime, unflat(expand(res.final_lnt)), sel_w),
+            ferg=sc2(pl.ferg, ferg_v, sel_w),
+            ftime=sc2(pl.ftime, ftime_v, sel_w),
             traj=sc2(pl.traj, traj_k, sel_w),
             mom=sc2(pl.mom, mom_k, sel_w),
             times=sc2(pl.times, unflat(expand(res.times)), sel_w),
@@ -501,16 +600,35 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         count_main = c.count_main + jnp.sum(no_cross, axis=1).astype(jnp.int32)
         dw_bad = valid & ((dw_node > -0.5) | (dw_node < -2.0))
         dw_anom = c.dw_anom + jnp.sum(dw_bad, axis=1).astype(jnp.int32)
+        if mega_chain:
+            # chain terminals: the last in-kernel node ended without a
+            # crossing (exit3) or at a rare crossing with r >= 1 (the r == 0
+            # rare case is already counted through rare_fail above)
+            chain_term = exit3 | (rare_term & (r_ch >= 1))
+            tot_prob = tot_prob + jnp.sum(
+                jnp.where(chain_term, w_node, 0.0), axis=1)
+            count_main = count_main + jnp.sum(exit3, axis=1).astype(jnp.int32)
+            for j in range(CH):
+                bad_j = chainy & (j < r_ch) & (
+                    (dwc_all[:, :, j] > -0.5) | (dwc_all[:, :, j] < -2.0))
+                dw_anom = dw_anom + jnp.sum(bad_j, axis=1).astype(jnp.int32)
 
         # --- spawn children (MainRunner.jl:278-305) ---
         spawn = cross_ok
         mc_mode = count_now > tcfg.mc_nodes
         # MC draw keyed on (event key, per-event node index): invariant to
         # sharding and to how iterations batch the work
-        keys_rep = jnp.repeat(keys, K, axis=0)
-        subkey = jax.vmap(jax.random.fold_in)(keys_rep, flat(count_now))
-        r_mc = unflat(jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(subkey))
-        convert_mc = r_mc < pcx
+        if mega_chain:
+            # chainy lanes spawn via the chain scatter below; non-chain
+            # lanes compare the SAME f32 uniform stream the kernel uses so
+            # chain and single-step processing of a node draw identically
+            spawn = cross_ok & ~chainy
+            convert_mc = uni[:, :, 0] < pcx.astype(jnp.float32)
+        else:
+            subkey = jax.vmap(jax.random.fold_in)(keys_rep, flat(count_now))
+            r_mc = unflat(jax.vmap(
+                lambda kk: jax.random.uniform(kk, dtype=dtype))(subkey))
+            convert_mc = r_mc < pcx
 
         new_species = ~is_ph
         # child A (always written when spawning): in MC mode the single drawn
@@ -525,6 +643,9 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         # per-node child slots: exclusive running sum of children within the
         # iteration, appended after the event's current allocation
         n_child = jnp.where(spawn, jnp.where(mc_mode, 1, 2), 0).astype(jnp.int32)
+        if mega_chain:
+            n_child = jnp.where(chainy, r_ch + pend_child.astype(jnp.int32),
+                                n_child)
         base = c.n_alloc[:, None] + jnp.cumsum(n_child, axis=1) - n_child
         slot_a = base
         slot_b = base + 1
@@ -561,11 +682,96 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             prob_conv0=sc2(pl.prob_conv0, prob_conv_parent, sb),
             status=sc2(pl.status, jnp.ones((E, K), jnp.int32), sb),
         )
-        n_alloc = c.n_alloc + jnp.sum(
-            write_a.astype(jnp.int32) + write_b.astype(jnp.int32),
-            axis=1).astype(jnp.int32)
+        n_alloc_add = write_a.astype(jnp.int32) + write_b.astype(jnp.int32)
+
+        # --- chain-children scatter (in-kernel MC chain, chainy lanes) ---
+        # Reconstruct the per-node records the host engine would have
+        # written one iteration at a time: child C_{j+1} spawns from
+        # crossing slot j; processed children (j < r_ch) end at slot j+1 or
+        # at the launch end; the pending child (j == r_ch, budget stop)
+        # waits for the next iteration.  Species/probabilities replay the
+        # kernel's draws from the shared (uniforms, pcx) arrays.
+        if mega_chain:
+            sp = is_ph
+            conv_all = uni < pcx_all.astype(jnp.float32)       # [E,K,CH]
+            for j in range(CH):
+                is_proc = chainy & (j < r_ch)
+                is_pend = chainy & (j == r_ch) & pend_child
+                wr = (is_proc | is_pend) & (base + j < P)
+                slot_c = jnp.where(wr, base + j, DROP)
+                conv_j = conv_all[:, :, j]
+                sp_child = jnp.where(conv_j, ~sp, sp)
+                pcx_j = pcx_all[:, :, j]
+                prob_j = jnp.where(conv_j, pcx_j, 1.0 - pcx_j)
+                # prob_conv0 = pcx if converted else the PARENT's prob_conv
+                # (its own birth-crossing pcx; N_0's gathered for j == 0)
+                pc0_parent = (pcx_all[:, :, j - 1] if j >= 1
+                              else prob_conv_parent)
+                pc0_j = jnp.where(conv_j, pcx_j, pc0_parent)
+                pl = pl._replace(
+                    pos=sc2(pl.pos, xc_all[:, :, j, :], slot_c),
+                    k=sc2(pl.k, kc_all[:, :, j, :], slot_c),
+                    t=sc2(pl.t, tc_all[:, :, j], slot_c),
+                    dw=sc2(pl.dw, dwc_all[:, :, j], slot_c),
+                    is_photon=sc2(pl.is_photon, sp_child, slot_c),
+                    prob=sc2(pl.prob, prob_j, slot_c),
+                    weight=sc2(pl.weight, w_node, slot_c),
+                    parent_weight=sc2(pl.parent_weight, w_node, slot_c),
+                    prob_conv=sc2(pl.prob_conv, pcx_j, slot_c),
+                    prob_conv0=sc2(pl.prob_conv0, pc0_j, slot_c),
+                    status=sc2(pl.status,
+                               jnp.where(is_pend, 1, 2).astype(jnp.int32),
+                               slot_c),
+                )
+                # processed children: endpoint / crossing / order records
+                slot_p = jnp.where(is_proc & (base + j < P), base + j, DROP)
+                nj = min(j + 1, CH - 1)
+                ends_at_slot = is_proc & ((j + 1) < ncl)
+                f_pos = jnp.where(ends_at_slot[..., None],
+                                  xc_all[:, :, nj, :], end_pos)
+                f_mom = jnp.where(ends_at_slot[..., None],
+                                  kc_all[:, :, nj, :], end_mom)
+                f_erg = jnp.where(ends_at_slot, dwc_all[:, :, nj] * ergK,
+                                  end_ferg)
+                f_time = jnp.where(
+                    ends_at_slot,
+                    jnp.log(jnp.maximum(tc_all[:, :, nj], 1e-300)), end_ftime)
+                hasx_c = ends_at_slot & ~(rare_term & ((j + 1) == ncl - 1))
+                slot_hx = jnp.where(hasx_c & (base + j < P), base + j, DROP)
+                traj_c = jnp.concatenate(
+                    [xc_all[:, :, j:j + 1, :],
+                     jnp.repeat(f_pos[:, :, None, :], NS - 1, axis=2)],
+                    axis=2)
+                mom_c = jnp.concatenate(
+                    [kc_all[:, :, j:j + 1, :],
+                     jnp.repeat(f_mom[:, :, None, :], NS - 1, axis=2)],
+                    axis=2)
+                final_c = exit3 & ((j + 1) == r_ch) & (
+                    jnp.linalg.norm(end_pos, axis=-1) > sc.r_ns * 1.1)
+                pl = pl._replace(
+                    order=sc2(pl.order, count_now + j + 1, slot_p),
+                    fpos=sc2(pl.fpos, f_pos, slot_p),
+                    fmom=sc2(pl.fmom, f_mom, slot_p),
+                    ferg=sc2(pl.ferg, f_erg, slot_p),
+                    ftime=sc2(pl.ftime, f_time, slot_p),
+                    traj=sc2(pl.traj, traj_c, slot_p),
+                    mom=sc2(pl.mom, mom_c, slot_p),
+                    has_cross=sc2(pl.has_cross, hasx_c, slot_p),
+                    xc=sc2(pl.xc, xc_all[:, :, nj, :], slot_hx),
+                    kc=sc2(pl.kc, kc_all[:, :, nj, :], slot_hx),
+                    tcx=sc2(pl.tcx, tc_all[:, :, nj], slot_hx),
+                    dwcx=sc2(pl.dwcx, dwc_all[:, :, nj], slot_hx),
+                    pcx=sc2(pl.pcx, pcx_all[:, :, nj], slot_hx),
+                    is_final=sc2(pl.is_final, final_c, slot_p),
+                )
+                n_alloc_add = n_alloc_add + wr.astype(jnp.int32)
+                sp = jnp.where(chainy, sp_child, sp)
+
+        n_alloc = c.n_alloc + jnp.sum(n_alloc_add, axis=1).astype(jnp.int32)
 
         count = c.count + jnp.sum(valid, axis=1).astype(jnp.int32)
+        if mega_chain:
+            count = count + jnp.sum(r_ch, axis=1).astype(jnp.int32)
 
         # --- cutoffs (MainRunner.jl:324-339), checked once per iteration ---
         info = c.info

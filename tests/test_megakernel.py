@@ -44,7 +44,8 @@ def test_megakernel_matches_pool():
     u0 = jnp.concatenate([cart_to_sph(jnp.asarray(x)), w0,
                           (-jnp.asarray(erg))[:, None]], axis=1)
     with pltpu.force_tpu_interpret_mode():
-        uf, lntf, steps, code, ncross, cru, crlnt, save_mid = mk.integrate_mega(
+        (uf, lntf, steps, code, ncross, cru, crlnt, save_mid,
+         *_extras) = mk.integrate_mega(
             u0, jnp.full(B, cfg.ln_t_start), jnp.full(B, float(np.log(t_end))),
             jnp.asarray(erg), jnp.asarray(x), sc, cfg, tile_rows=1)
 
