@@ -88,7 +88,7 @@ def main():
 
         def step(eps):
             # perturb the launch state so every rep is fresh work
-            uf, lntf, steps, code, ncross, cru, crlnt, save_mid = fmega(
+            uf, lntf, steps, code, ncross, cru, crlnt, save_mid, *_x = fmega(
                 u0.at[:, 0].add(eps), x)
             return uf, steps, ncross
 
@@ -102,6 +102,40 @@ def main():
             dts.append(time.perf_counter() - t0)
         dt = float(np.min(dts))
         steps, ncross = out[1], out[2]
+
+        # --- utilization attribution (VERDICT r2 weak #5) ---
+        # Useful flops from the analytic per-step model; hardware lane-steps
+        # from tile lockstep (a 128-lane tile runs until its SLOWEST lane
+        # finishes, so hw work = sum over tiles of max-steps x 128).
+        fps = mk.flops_per_step(sc, cfg)
+        steps_np = np.asarray(steps)
+        tile_max = steps_np.reshape(-1, 128).max(axis=1)
+        hw_lane_steps = float(tile_max.sum() * 128)
+        useful_flops = float(steps_np.sum()) * fps
+        extra = {
+            "flops_per_step_model": round(fps, 1),
+            "achieved_gflops": round(useful_flops / dt / 1e9, 2),
+            "vpu_peak_frac": round(useful_flops / dt / mk.VPU_PEAK_F32, 4),
+            "lockstep_efficiency": round(float(steps_np.sum()) / hw_lane_steps, 3),
+        }
+        if os.environ.get("BENCH_BREAKDOWN"):
+            # marginal cost of the interior event scan: same kernel at
+            # interp_points=2 (the scan cannot be removed structurally)
+            import dataclasses
+
+            cfg2 = dataclasses.replace(cfg, interp_points=2)
+            f2 = jax.jit(lambda u, xc: mk.integrate_mega(
+                u, lnt0, lnt1, erg, xc, sc, cfg2))
+            _ = np.asarray(f2(u0, x)[0])
+            d2 = []
+            for i in range(max(reps, 2)):
+                t0 = time.perf_counter()
+                o2 = f2(u0.at[:, 0].add(1e-7 * (i + 1)), x)
+                _ = np.asarray(o2[0])
+                d2.append(time.perf_counter() - t0)
+            extra["wall_s_interp2"] = round(float(np.min(d2)), 3)
+            extra["scan_cost_frac"] = round(
+                max(dt - float(np.min(d2)), 0.0) / dt, 3)
     else:
         # Chunked pool with straggler compaction: step-count distributions are
         # heavy-tailed, so a monolithic lockstep pool runs at a few percent
@@ -136,6 +170,7 @@ def main():
             dts.append(time.perf_counter() - t0)
         dt = float(np.median(dts))
         steps, ncross = res.steps, res.n_cross
+        extra = {}
     assert np.all(np.isfinite(traj_np))
 
     rays_per_sec = B / dt
@@ -157,6 +192,7 @@ def main():
         "engine": engine,
         "platform": platform,
     }
+    out.update(extra)
     print(json.dumps(out))
 
 

@@ -85,7 +85,7 @@ def main():
 
         @jax.jit
         def spectrum_chunk(u0, eps, hist, steps_acc, ncross_acc):
-            uf, lntf, steps, code, ncross, cru, crlnt, _ = mk.integrate_mega(
+            uf, lntf, steps, code, ncross, cru, crlnt, *_x = mk.integrate_mega(
                 u0.at[:, 0].add(eps), lnt0, lnt1, erg, x, sc, cfg)
             # MC spectrum: survival-weighted pulse profile of the endpoint
             # azimuth, entirely on device (the combine_files + numpy

@@ -52,7 +52,9 @@ def main():
     sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
                r_ns=10.0, mass_ns=1.0)
     cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
-                         compute_dtype=compute_dtype, engine=engine)
+                         compute_dtype=compute_dtype, engine=engine,
+                         mc_chain=int(os.environ.get("BENCH_MC_CHAIN", "1")),
+                         tree_k=int(os.environ.get("BENCH_TREE_K", "0")))
     deep = os.environ.get("BENCH_DEEP", "") == "1"
     if deep:  # the reference's production scale (runner_example.sh:4)
         tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=50, mc_nodes=10,
