@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume a killed run from its checkpoint")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed; the DCN analogue of the "
+                        "reference's SLURM fan-out, runner_GR_tasks.sh)")
+    p.add_argument("--nprocs", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--procid", type=int, default=None,
+                   help="multi-host: this process's index")
     return p
 
 
@@ -97,6 +105,13 @@ def main(argv=None) -> int:
         flat=False, isotropic=False, melrose=True,
     )
     import jax
+
+    if args.coordinator is not None:
+        from adiabatic_raytracer_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.nprocs, args.procid)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     if args.computeDtype == "auto":
         compute_dtype = "state" if jax.devices()[0].platform == "cpu" else "f32"
