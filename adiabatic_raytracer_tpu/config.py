@@ -126,6 +126,12 @@ class NumericsConfig:
     # K-1 nodes vs the reference; tree_k=1 forces per-node checks (exact
     # reference cutoff semantics, ~K times more iterations) for audit runs.
     tree_k: int = static_field(0)
+    # Device->host transfer budget for the finals pack: the driver ships the
+    # batch's final nodes as ONE globally-compacted array sized
+    # finals_cap_per_event * event_batch rows (tree.compact_finals_global).
+    # The observed population is ~2-3 finals/event at production cutoffs;
+    # raise this if a run aborts with a finals-capacity error.
+    finals_cap_per_event: int = static_field(8)
     # Conversion-probability evaluation width per tree iteration: crossings
     # are a small fraction of launched lanes, so P is evaluated on the W2
     # first crossing lanes (index-packed) with a fallback to all lanes on
@@ -144,13 +150,26 @@ class NumericsConfig:
     # (ops/megakernel with_chain): once an event is in MC mode with a single
     # pending node, the kernel continues through crossings (in-kernel
     # conversion probability + pre-drawn per-node uniforms, species flip,
-    # axion-shell renorm) instead of returning to the host after each — the
-    # dominant sequential-launch count at production cutoffs drops from the
-    # chain length to ~the pre-MC tree depth.  mc_chain_slots bounds the
-    # crossings recorded per launch (chains longer than that continue on the
-    # next iteration).  Requires in_kernel_prob; 0 disables.
-    mc_chain: int = static_field(1)
+    # axion-shell renorm) instead of returning to the host after each.
+    # MEASURED NON-LEVER, default OFF: a chain lane converts lockstep steps
+    # that were SHARED with other events' nodes into exclusive ones (its
+    # tile spins for the whole chain), and the iteration count barely drops
+    # because pre-MC branching depth dominates — deep pipeline 407 vs 1507
+    # ev/s, default cutoffs 1021 vs 2380 (round-3 A/B via BENCH_MC_CHAIN).
+    # The machinery is exact w.r.t. the per-node engine and equivalence-
+    # tested (tests/test_tree_mega.py); it would pay only with an in-kernel
+    # active-lane repack across tiles.  mc_chain_slots bounds the crossings
+    # recorded per launch.  Requires in_kernel_prob.
+    mc_chain: int = static_field(0)
     mc_chain_slots: int = static_field(8)
+    # Endgame gate: a chain lane stretches its LAUNCH to the chain's length
+    # (all tiles in lockstep wait on the slowest lane), so collapsing chains
+    # while many events still have ordinary work makes every iteration as
+    # slow as the deepest chain.  Chains are therefore enabled only once the
+    # active-event count drops to <= E / mc_chain_gate (the endgame, where
+    # the queue is chain-dominated and iterations would otherwise be mostly
+    # idle).  0 = always chain.
+    mc_chain_gate: int = static_field(4)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

@@ -177,11 +177,15 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
         # pack everything the saveMode<=1 row assembly needs into two arrays
         # so the host does TWO device fetches per batch, not ~45 (each fetch
         # is a network round trip on a tunneled TPU); the final nodes are
-        # compacted on device ([E, F, 14], F ~ num_cutoff) instead of
-        # shipping the full [E, P, 16] pools (~10x the bytes)
+        # compacted GLOBALLY on device ([cap+1, 15] instead of the worst-case
+        # per-event [E, F, 14] — ~25x fewer bytes at production cutoffs),
+        # in f32 on the f32-physics path (the link runs ~15 MB/s)
         d = xpos.dtype
         one = lambda a: a.astype(d)[..., None]
-        fin_pack = tree.compact_finals(tr.pools, tree.max_finals(tcfg))
+        pack_dtype = jnp.float32 if cfg.compute_dtype == "f32" else d
+        fin_pack = tree.compact_finals_global(
+            tr.pools, cfg.finals_cap_per_event * xpos.shape[0],
+            out_dtype=pack_dtype)
         ev_pack = jnp.concatenate([
             sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
             one(tr.dw_anomalies), bt.samp_back_weight[:, None],
@@ -367,34 +371,59 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # --- software-pipelined batch loop ---
-    # Batch i+1 is sampled and its pipeline DISPATCHED before batch i's
-    # outputs are fetched/assembled: on a tunneled TPU the fetch is a network
-    # transfer that overlaps the next batch's device compute for free.
-    # Checkpoint exactness is preserved by carrying, per batch, the RNG/
-    # sampler-rate state as of the end of ITS OWN sampling and by applying
-    # its sampling accounting to stats only at assembly time — a checkpoint
-    # written after assembling batch i therefore restores exactly the stream
-    # that sampling batch i+1 consumed.
+    # --- software-pipelined batch loop with ASYNC sampling ---
+    # Two overlaps are in play on the single device stream:
+    #   * batch i+1's pipeline is DISPATCHED before batch i's outputs are
+    #     fetched/assembled (the network-priced fetch rides under the next
+    #     batch's device compute), and
+    #   * batch i+1's PRIMARY sampler chunk is dispatched BEFORE batch i's
+    #     pipeline, so by collect time it has already run in the gap after
+    #     the previous pipeline — the sampler's device work and its fetch
+    #     never stall behind a long tree launch (they did when sampling ran
+    #     strictly between pipeline dispatches).
+    # RNG: each batch consumes ONE split of the carried key; chunk j of the
+    # batch draws from fold_in(batch_key, j), so the draw stream is
+    # independent of how dispatches interleave.  A checkpoint written after
+    # assembling batch i stores the (key, succ_rate) snapshot taken right
+    # after batch i's collect — exactly the state batch i+1's dispatch
+    # consumed — so a resumed run reproduces the stream bit-for-bit.
     batches_done = 0
     batches_issued = 0
     issue_event_no = event_no
     issue_remaining = remaining
 
-    def issue_batch():
-        """Sample one batch (host loop) and dispatch its device pipeline."""
-        nonlocal key, succ_rate, issue_event_no, issue_remaining, batches_issued
-        batch = min(event_batch, issue_remaining)
-        # oversample so one jitted call usually covers the batch; batch sizes
-        # are power-of-2 quantized to bound sampler recompiles.  The device
-        # returns only the packed successes + count (see _build_sampler);
-        # the key stream / succ_rate / attempt accounting below are
-        # bit-identical to fetching the full chunks.
+    def sample_dispatch():
+        """Split a batch key and dispatch the primary oversampled chunk."""
+        nonlocal key
+        key, bkey = jax.random.split(key)
+        sb = 1 << max(int(event_batch / max(succ_rate, 0.02) * 1.5) - 1,
+                      7).bit_length()
+        return {"bkey": bkey, "sb": sb,
+                "handle": sample_jit(jax.random.fold_in(bkey, 0), sb)}
+
+    def sample_collect(s, batch):
+        """Fetch the primary chunk; top up synchronously on shortfall."""
+        nonlocal succ_rate
         t_s0 = time.time()
         xs, kept_pos = [], []
         got = 0
         chunk_off = 0
-        while got < batch:
+        j = 0
+        handle, sb = s["handle"], s["sb"]
+        while True:
+            pk = np.asarray(handle)                     # ONE small fetch
+            n_succ = int(pk[-1, 0])
+            succ_rate = max(0.5 * succ_rate + 0.5 * n_succ / sb, 0.02)
+            take = min(n_succ, batch - got)
+            xs.append(pk[:take, 1:])
+            # int64 before the offset add: under --precision f32 the packed
+            # positions arrive as float32 and chunk_off past 2^24 would
+            # corrupt the attempt indices (and with them f_inx)
+            kept_pos.append(chunk_off + pk[:take, 0].astype(np.int64))
+            chunk_off += sb
+            got += take
+            if got >= batch:
+                break
             if chunk_off > 8_000_000 and got * 1_000_000 < chunk_off:
                 # the reference's sampling loop (MainRunner.jl:463-494) spins
                 # forever on a scene whose conversion surface is (nearly)
@@ -404,27 +433,21 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                     f"conversion-surface sampler produced {got} valid events "
                     f"in {chunk_off} draws — check the scene parameters "
                     f"(mass_a/B0/omega_pul place the surface at maxR={maxR:.3g})")
-            key, sub = jax.random.split(key)
+            j += 1
             need = batch - got
-            sb = 1 << max(int(need / max(succ_rate, 0.02) * 1.3) - 1, 7).bit_length()
-            pk = np.asarray(sample_jit(sub, sb))        # ONE small fetch/call
-            n_succ = int(pk[-1, 0])
-            succ_rate = max(0.5 * succ_rate + 0.5 * n_succ / sb, 0.02)
-            take = min(n_succ, need)
-            xs.append(pk[:take, 1:])
-            # int64 before the offset add: under --precision f32 the packed
-            # positions arrive as float32 and chunk_off past 2^24 would
-            # corrupt the attempt indices (and with them f_inx)
-            kept_pos.append(chunk_off + pk[:take, 0].astype(np.int64))
-            chunk_off += sb
-            got += take
+            sb = 1 << max(int(need / max(succ_rate, 0.02) * 1.3) - 1,
+                          7).bit_length()
+            handle = sample_jit(jax.random.fold_in(s["bkey"], j), sb)
         attempts = int(np.concatenate(kept_pos)[batch - 1]) + 1
-
         # integration state stays f64 even when the sampler computed in f32
         samp = np.concatenate(xs, axis=0).astype(np.float64)
+        return samp, attempts, time.time() - t_s0
+
+    def issue_batch(samp, batch, attempts, t_sample, rng_snap):
+        """Dispatch the device pipeline for a collected sample batch."""
+        nonlocal issue_event_no, issue_remaining, batches_issued
         xpos, v_loc, erg_inf, v_ifty = (samp[:, 0:3], samp[:, 3:6],
                                         samp[:, 6], samp[:, 7:10])
-        t_sample = time.time() - t_s0
 
         # pad the batch up to a mesh-divisible size (outputs discarded);
         # RNG keys come from the *global* event number -> mesh-invariant
@@ -447,7 +470,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
             "xpos": xpos, "v_ifty": v_ifty, "attempts": attempts,
             "t_sample": t_sample, "t_dispatch": t_d0,
             # resume state as of the end of this batch's sampling
-            "rng_after": (np.asarray(key).copy(), succ_rate),
+            "rng_after": rng_snap,
         }
         issue_event_no += batch
         issue_remaining -= batch
@@ -472,16 +495,33 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         jax.block_until_ready(fin_pack)
         t_f0 = time.time()
         stats.t_pipeline += max(t_f0 - rec["t_dispatch"] - overlap_s, 0.0)
-        fp = np.asarray(fin_pack)[:batch]               # [E, F, 14], one fetch
+        fp = np.asarray(fin_pack)          # [(n_sh)*(cap+1), 14], one fetch
         evp = np.asarray(ev_pack)[:batch]               # [E, 12], one fetch
         stats.t_fetch += time.time() - t_f0
         t_batch = max(time.time() - rec["t_dispatch"] - overlap_s, 0.0)
 
         t_r0 = time.time()
-        (f_valid, f_is_ph, f_ferg, f_weight, f_prob, f_prob_conv,
-         f_prob_conv0, f_t) = (fp[..., i] for i in range(8))
-        f_fpos = fp[..., 8:11]
-        f_fmom = fp[..., 11:14]
+        # decode the global finals pack (tree.compact_finals_global): under
+        # a mesh each shard contributes its own [cap_l+1, 14] block with
+        # LOCAL event indices and a trailer count
+        n_sh = mesh_devices if mesh_devices and mesh_devices > 1 else 1
+        bp = ((batch + pad_to - 1) // pad_to) * pad_to
+        shard_e = bp // n_sh
+        blocks = fp.reshape(n_sh, -1, 14)
+        fins = []
+        for s in range(n_sh):
+            blk = blocks[s]
+            cnt = int(blk[-1, 0])
+            if cnt > blk.shape[0] - 1:
+                raise RuntimeError(
+                    f"finals pack overflow: {cnt} finals exceed the "
+                    f"{blk.shape[0] - 1}-row capacity — raise "
+                    "NumericsConfig.finals_cap_per_event")
+            b = np.array(blk[:cnt], np.float64)  # copy: fp view is read-only
+            b[:, 0] += s * shard_e
+            fins.append(b)
+        fin = np.concatenate(fins, axis=0)
+        fin = fin[fin[:, 0] < batch]        # drop mesh-padding duplicates
         sln_np = evp[:, 0]
         cosw_np = evp[:, 1]
         count_np = evp[:, 2].astype(np.int64)
@@ -503,25 +543,31 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         for iv, cnt in zip(*np.unique(info_np, return_counts=True)):
             stats.info_hist[int(iv)] = stats.info_hist.get(int(iv), 0) + int(cnt)
 
-        # finals arrive compacted and per-event processing-ordered from the
-        # device (tree.compact_finals), so nonzero order is already right
-        e_ids, p_ids = np.nonzero(f_valid > 0.5)                       # [E, F]
+        # finals arrive globally compacted and (event, processing-order)-
+        # sorted from the device (tree.compact_finals_global)
+        e_ids = fin[:, 0].astype(np.int64)
         nfin = len(e_ids)
-        fmom = f_fmom[e_ids, p_ids]
-        fpos = f_fpos[e_ids, p_ids]
+        species_id = fin[:, 1]
+        ferg_f = fin[:, 2]
+        weight_f = fin[:, 3]
+        prob_f = fin[:, 4]
+        prob_conv_f = fin[:, 5]
+        prob_conv0_f = fin[:, 6]
+        t_f = fin[:, 7]
+        fpos = fin[:, 8:11]
+        fmom = fin[:, 11:14]
         absf = np.linalg.norm(fmom, axis=1)
         absfx = np.linalg.norm(fpos, axis=1)
         phi_f = np.arctan2(fmom[:, 1], fmom[:, 0])
         phi_fx = np.arctan2(fpos[:, 1], fpos[:, 0])
         theta_f = np.arccos(fmom[:, 2] / absf)
         theta_fx = np.arccos(fpos[:, 2] / absfx)
-        species_id = f_is_ph[e_ids, p_ids]
         sbw = sbw_ev[e_ids]
-        weight = f_weight[e_ids, p_ids] * sbw            # MainRunner.jl:686
+        weight = weight_f * sbw                          # MainRunner.jl:686
         optical_depth = np.zeros(nfin)
         weight_c = np.ones(nfin)
         weight_tmp = weight * (weight_c**2 * np.exp(-optical_depth))
-        dw_out = f_ferg[e_ids, p_ids] / float(sc.mass_a) + vel_eng[e_ids]
+        dw_out = ferg_f / float(sc.mass_a) + vel_eng[e_ids]
         ev_col = (event_no + e_ids).astype(np.float64)
         base = np.stack([
             ev_col, species_id, theta_f, phi_f, theta_fx, phi_fx, absfx,
@@ -533,8 +579,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                 k_init_np[e_ids, 0], k_init_np[e_ids, 1], k_init_np[e_ids, 2],
                 cosw_np[e_ids], count_np[e_ids].astype(np.float64),
                 info_np[e_ids].astype(np.float64),
-                f_prob[e_ids, p_ids], f_prob_conv[e_ids, p_ids],
-                f_prob_conv0[e_ids, p_ids], sbw, absfx,
+                prob_f, prob_conv_f, prob_conv0_f, sbw, absfx,
                 bt_c_bck[e_ids].astype(np.float64), bt_prob0[e_ids]],
                 axis=1)
             base = np.concatenate([base, extra], axis=1)
@@ -593,7 +638,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                         en, float(weight[j]), int(species_id[j]),
                         float(theta_f[j]), float(phi_f[j]), float(absf[j]),
                         float(theta_fx[j]), float(phi_fx[j]), float(absfx[j]),
-                        float(f_t[e_ids[j], p_ids[j]]))
+                        float(t_f[j]))
                 ev_files.write_event_tail(t_batch / batch, int(count_np[e]))
             stats.t_text += time.time() - t_t0
 
@@ -607,12 +652,20 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                               stats, rows)
 
     pending = None
+    samp_next = sample_dispatch() if issue_remaining > 0 else None
     while issue_remaining > 0 or pending is not None:
         nxt = None
         if issue_remaining > 0 and (max_batches is None
                                     or batches_issued < max_batches):
             try:
-                nxt = issue_batch()
+                batch = min(event_batch, issue_remaining)
+                samp, attempts, t_sample = sample_collect(samp_next, batch)
+                rng_snap = (np.asarray(key).copy(), succ_rate)
+                # dispatch the NEXT batch's sampler chunk ahead of this
+                # batch's pipeline so it runs in the device gap
+                if issue_remaining - batch > 0:
+                    samp_next = sample_dispatch()
+                nxt = issue_batch(samp, batch, attempts, t_sample, rng_snap)
             except Exception:
                 # a sampling failure must not drop the already-computed
                 # in-flight batch: assemble (and checkpoint) it first so a

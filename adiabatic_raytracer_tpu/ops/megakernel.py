@@ -528,8 +528,6 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     x0c = tuple(aux_ref[:, 3 + i, :] for i in range(3))
     is_ph0 = aux_ref[:, 6, :]
     chain_cap = aux_ref[:, 7, :] if with_chain else None
-    uni = (tuple(uni_ref[:, s, :] for s in range(n_slots)) if with_chain
-           else None)
     lnt_mid = 0.5 * (lnt + lnt1)
 
     is_ph = is_ph0
@@ -553,13 +551,23 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     done = jnp.where(lnt1 <= lnt, 1.0, 0.0)
     steps = jnp.zeros_like(lnt)
     n_cross = jnp.zeros_like(lnt)
-    cross_u = tuple(tuple(jnp.zeros_like(lnt) for _ in range(7))
-                    for _ in range(n_slots))
-    cross_lnt = tuple(jnp.zeros_like(lnt) for _ in range(n_slots))
-    cross_p = tuple(jnp.zeros_like(lnt) for _ in range(n_slots))
+    # crossing records live in the OUTPUT REFS (VMEM), written in place at
+    # record time — carrying n_slots x 9 vectors through the scf.while blew
+    # vector-register pressure into spills at n_slots >= 8 (the chain/
+    # backtrace configurations)
+    zrow = jnp.zeros_like(lnt)
+    for slot in range(n_slots):
+        for i in range(8):
+            cross_ref[:, 8 * slot + i, :] = zrow
+        pcx_ref[:, slot, :] = zrow
     save_mid = tuple(jnp.zeros_like(lnt) for _ in range(7))
     code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
     lnt_ck = lnt
+    # chain-only mutable state: species, segment start point, per-segment
+    # crossing count, restart count.  Carried through the while loop ONLY in
+    # chain mode — without chains they are loop-invariant (is_ph, x0c) or
+    # equal to n_cross (seg_cross), and six extra carried vectors measurably
+    # slow every step
     seg_cross = jnp.zeros_like(lnt)   # crossings since current segment start
     nodes_used = jnp.zeros_like(lnt)  # in-kernel chain restarts
 
@@ -568,10 +576,20 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         it = carry[-1]
         return jnp.logical_and(jnp.min(done_f) < 0.5, it < C.max_steps)
 
+    is_ph_const = is_ph
+    x0c_const = (x0c[0], x0c[1], x0c[2])
+
     def body(carry):
-        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-         cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
-         nodes_used, it) = carry
+        if with_chain:
+            (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
+             save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
+             nodes_used, it) = carry
+        else:
+            (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
+             save_mid, code, lnt_ck, it) = carry
+            is_ph = is_ph_const
+            x0c = x0c_const
+            seg_cross = n_cross   # no chain restarts: segment == launch
         done = done_f > 0.5
         active = jnp.logical_not(done)
         h = jnp.clip(lnt1 - lnt, 0.0, None)
@@ -670,7 +688,30 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
             start_dup = within & (seg_cross < 0.5)
             rec = flip_found & ~start_dup & (r_s >= C.r_ns * 1.01) \
                 & (n_cross < max_crossings)
-            p_s = _prob_nd(C, u_s, erg) if with_prob else zero
+
+            # Record sub-block, gated on "any lane actually RECORDS": the
+            # conversion-probability evaluation (3 vjps) and the per-slot
+            # ref writes cost ~a full step-equivalent, but most bracketed
+            # steps are rejected by the filters — an event block runs on
+            # ~25% of tile-steps while records are ~1 per lane per launch.
+            any_rec_in = jnp.max(jnp.where(rec, 1.0, 0.0)) > 0.5
+
+            def _record_blk(_):
+                p_s = _prob_nd(C, u_s, erg) if with_prob else zero
+                for slot in range(n_slots):
+                    hit = rec & (jnp.abs(n_cross - slot) < 0.5)
+                    for i in range(7):
+                        cross_ref[:, 8 * slot + i, :] = jnp.where(
+                            hit, u_s[i], cross_ref[:, 8 * slot + i, :])
+                    cross_ref[:, 8 * slot + 7, :] = jnp.where(
+                        hit, lnt_s, cross_ref[:, 8 * slot + 7, :])
+                    if with_prob:
+                        pcx_ref[:, slot, :] = jnp.where(
+                            hit, p_s, pcx_ref[:, slot, :])
+                return p_s
+
+            p_s = lax.cond(any_rec_in, _record_blk, lambda _: zero, 0)
+
             # rare-fail guard at the crossing (MainRunner.jl:213-224):
             # any Cartesian proper-velocity component > 1.  Transform as the
             # host does (celerity_to_cart_vel, exterior lapse, mass_eff).
@@ -687,25 +728,14 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
                           | (jnp.abs(vz) > 1.0))
             else:
                 rare_s = jnp.zeros_like(done) > 0.5
-            new_cu = []
-            new_cl = []
-            new_cp = []
-            for slot in range(n_slots):
-                hit = rec & (jnp.abs(n_cross - slot) < 0.5)
-                new_cu.append(tuple(
-                    jnp.where(hit, us, cu)
-                    for us, cu in zip(u_s, cross_u[slot])))
-                new_cl.append(jnp.where(hit, lnt_s, cross_lnt[slot]))
-                new_cp.append(jnp.where(hit, p_s, cross_p[slot]))
             return (jnp.where(rec, 1.0, 0.0), u_s, lnt_s,
-                    tuple(new_cu), tuple(new_cl), tuple(new_cp),
                     p_s, jnp.where(rare_s, 1.0, 0.0), pc)
 
         def _no_event(_):
-            return (zero, u, lnt, cross_u, cross_lnt, cross_p, zero, zero,
+            return (zero, u, lnt, zero, zero,
                     (x0c[0], x0c[1], x0c[2]))
 
-        (rec_f, u_star, lnt_star, cross_u, cross_lnt, cross_p, p_star,
+        (rec_f, u_star, lnt_star, p_star,
          rare_f, pc_star) = lax.cond(any_flip, _event_blk, _no_event, 0)
         record = rec_f > 0.5
         n_cross2 = n_cross + rec_f
@@ -765,11 +795,13 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
                 u_c = (u_star[0], u_star[1], u_star[2], u_star[3] * nrm,
                        u_star[4] * nrm, u_star[5] * nrm, u_star[6])
                 # MC draw: uniform for THIS node index, pre-drawn per slot
-                # (slot = n_cross before this crossing's increment)
+                # (slot = n_cross before this crossing's increment); read
+                # LAZILY from the input ref so the uniforms are not live
+                # vectors across the whole while loop
                 u_draw = jnp.zeros_like(done_f)
                 for slot in range(n_slots):
                     u_draw = jnp.where(jnp.abs(n_cross - slot) < 0.5,
-                                       uni[slot], u_draw)
+                                       uni_ref[:, slot, :], u_draw)
                 convert = u_draw < p_star
                 ph_c = jnp.where(chain_go & convert, 1.0 - is_ph, is_ph)
                 f_c = _rhs(C, u_c, lnt_star, erg, ph_c)
@@ -783,8 +815,6 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
             x0c = tuple(jnp.where(chain_go, p, x) for p, x in zip(pc_star, x0c))
             seg_cross = jnp.where(chain_go, 0.0, seg_cross + rec_f)
             nodes_used = nodes_used + jnp.where(chain_go, 1.0, 0.0)
-        else:
-            seg_cross = seg_cross + rec_f
 
         # ntimes=3 mid-point save (Hermite at the save-grid midpoint)
         in_step_mid = accept & (lnt < lnt_mid) & (lnt + h >= lnt_mid)
@@ -845,18 +875,27 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         done2 = done | term_cross | ns_hit | reached | maxed | stalled
         done2_f = jnp.where(done2, 1.0, 0.0)
 
-        return (done2_f, u2, u_lo2, lnt2, lnt_lo2, dt_next, f02, g02, steps2,
-                n_cross2, cross_u, cross_lnt, cross_p, save_mid, code2,
-                lnt_ck2, is_ph, x0c, seg_cross, nodes_used, it + 1)
+        ret = (done2_f, u2, u_lo2, lnt2, lnt_lo2, dt_next, f02, g02, steps2,
+               n_cross2, save_mid, code2, lnt_ck2)
+        if with_chain:
+            ret = ret + (is_ph, x0c, seg_cross, nodes_used)
+        return ret + (it + 1,)
 
-    carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-             cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph,
-             (x0c[0], x0c[1], x0c[2]), seg_cross, nodes_used,
-             jnp.zeros((), jnp.int32))
+    carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
+             save_mid, code, lnt_ck)
+    if with_chain:
+        carry = carry + (is_ph, x0c_const, seg_cross, nodes_used)
+    carry = carry + (jnp.zeros((), jnp.int32),)
     out = lax.while_loop(cond_fn, body, carry)
-    (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross, cross_u,
-     cross_lnt, cross_p, save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
-     nodes_used, _) = out
+    if with_chain:
+        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
+         save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
+         nodes_used, _) = out
+    else:
+        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
+         save_mid, code, lnt_ck, _) = out
+        is_ph = is_ph_const
+        nodes_used = jnp.zeros_like(lnt)
 
     for i in range(7):
         uout_ref[:, i, :] = u[i] + u_lo[i]
@@ -871,11 +910,7 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     diag_ref[:, 5, :] = is_ph
     for i in range(6, 8):
         diag_ref[:, i, :] = jnp.zeros_like(steps)
-    for slot in range(n_slots):
-        for i in range(7):
-            cross_ref[:, 8 * slot + i, :] = cross_u[slot][i]
-        cross_ref[:, 8 * slot + 7, :] = cross_lnt[slot]
-        pcx_ref[:, slot, :] = cross_p[slot]
+    # cross_ref / pcx_ref were written in place at record time
     for i in range(7):
         save_ref[:, i, :] = save_mid[i]
     save_ref[:, 7, :] = jnp.zeros_like(u[0])

@@ -280,13 +280,15 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     NS = cfg.n_save
     K = int(min(P, cfg.tree_k if cfg.tree_k > 0 else tcfg.mc_nodes + 2))
     eidx = jnp.arange(E)
-    # in-kernel MC chain collapse (megakernel with_chain): static gate
+    # in-kernel probability / MC chain collapse (megakernel): static gates
     mega_chain = (cfg.engine == "mega" and bool(cfg.mc_chain)
                   and bool(cfg.in_kernel_prob))
-    if mega_chain:
+    mega_prob = cfg.engine == "mega" and bool(cfg.in_kernel_prob)
+    if mega_chain or mega_prob:
         from adiabatic_raytracer_tpu.ops.megakernel import can_prob as _cp
 
-        mega_chain = _cp(sc)
+        mega_chain = mega_chain and _cp(sc)
+        mega_prob = mega_prob and _cp(sc)
     CH = int(max(1, min(cfg.mc_chain_slots, tcfg.max_nodes + 2)))
 
     key = jnp.asarray(key)
@@ -413,6 +415,10 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         if mega_chain:
             n_pend = jnp.sum(pending & active[:, None], axis=1)
             chain_ev = (n_pend == 1) & (c.count + 1 > tcfg.mc_nodes)
+            if cfg.mc_chain_gate > 0:
+                # endgame only: see NumericsConfig.mc_chain_gate
+                n_act = jnp.sum(active.astype(jnp.int32))
+                chain_ev = chain_ev & (n_act * cfg.mc_chain_gate <= E)
             chain_lane = valid & chain_ev[:, None] & (jrange == 0)
             capf = jnp.clip(
                 (tcfg.max_nodes + 2 - count_now).astype(jnp.float32),
@@ -448,40 +454,93 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(jnp.asarray(dt0_ln, dtype))))
         lnt0 = jnp.where(valid, lnt0, lnt1K)  # inert lanes exit immediately
-        prop_kw = dict(
-            erg=gather(ergK), delta_w=gather(dw_node), lnt0=gather(lnt0),
-            lnt1=gather(lnt1K), is_photon=gather(is_ph), species="mixed",
-        )
         if cfg.engine == "mega":
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
-            res = propagate_mega(gather(pos0), gather(k0), sc, cfg,
-                                 max_crossings=CH if mega_chain else 1,
-                                 with_prob=bool(cfg.in_kernel_prob),
-                                 chain_cap=gather(cap) if mega_chain else None,
-                                 uniforms=gather(uni) if mega_chain else None,
-                                 **prop_kw)
+            def launch_mega(Wb):
+                # pack the valid lanes into a Wb-wide launch and expand the
+                # results back onto the [E*K] lane grid
+                _, gidxb = lax.top_k(
+                    valid.reshape(E * K).astype(jnp.float32), Wb)
+                gb = lambda a: flat(a)[gidxb]
+
+                def xb(field):
+                    buf = jnp.zeros((E * K,) + field.shape[1:], field.dtype)
+                    return buf.at[gidxb].set(field)
+
+                res = propagate_mega(
+                    gb(pos0), gb(k0), sc, cfg,
+                    max_crossings=CH if mega_chain else 1,
+                    with_prob=bool(cfg.in_kernel_prob),
+                    chain_cap=gb(cap) if mega_chain else None,
+                    uniforms=gb(uni) if mega_chain else None,
+                    erg=gb(ergK), delta_w=gb(dw_node), lnt0=gb(lnt0),
+                    lnt1=gb(lnt1K), is_photon=gb(is_ph), species="mixed")
+                outs = [res.n_cross, res.cut_short, res.xc, res.kc, res.tc,
+                        res.dwc, res.traj, res.mom, res.erg[:, -1],
+                        res.final_lnt, res.times]
+                if res.pcx is not None:
+                    outs.append(res.pcx)
+                if mega_chain:
+                    outs.append(res.chain_nodes)
+                return tuple(xb(o) for o in outs)
+
+            # Launch-width bucketing: the work queue drains to a handful of
+            # active lanes in the endgame iterations — which are MOST of the
+            # iteration count at production cutoffs — yet a static-width
+            # launch pays for all W lanes' tiles in lockstep.  A narrow
+            # 2-tile variant takes iterations whose valid-lane count fits
+            # (measured ~2x on the deep pipeline; both variants compile).
+            W_SMALL = 256
+            if W_SMALL < W:
+                outs = lax.cond(jnp.sum(valid) <= W_SMALL,
+                                lambda _: launch_mega(W_SMALL),
+                                lambda _: launch_mega(W), 0)
+            else:
+                outs = launch_mega(W)
+            (ncr_x, cut_x, xcs_x, kcs_x, tcs_x, dwcs_x, traj_x, mom_x,
+             erg_x, flnt_x, times_x, *rest) = outs
+            rest = list(rest)
+            pcx_x = rest.pop(0) if (mega_prob or mega_chain) else None
+            chain_x = rest.pop(0) if mega_chain else None
         else:
+            prop_kw = dict(
+                erg=gather(ergK), delta_w=gather(dw_node), lnt0=gather(lnt0),
+                lnt1=gather(lnt1K), is_photon=gather(is_ph), species="mixed",
+            )
             res = propagate(gather(pos0), gather(k0), sc, cfg,
                             max_crossings=jnp.ones(W, jnp.int32), **prop_kw)
+            ncr_x = expand(res.n_cross)
+            cut_x = expand(res.cut_short)
+            xcs_x = expand(res.xc)
+            kcs_x = expand(res.kc)
+            tcs_x = expand(res.tc)
+            dwcs_x = expand(res.dwc)
+            traj_x = expand(res.traj)
+            mom_x = expand(res.mom)
+            erg_x = expand(res.erg[:, -1])
+            flnt_x = expand(res.final_lnt)
+            times_x = expand(res.times)
+            pcx_x = None
+            chain_x = None
 
-        has_cross = unflat(expand(res.n_cross)) >= 1
-        xc = unflat(expand(res.xc[:, 0, :]))
-        kc = unflat(expand(res.kc[:, 0, :]))
-        tcx = unflat(expand(res.tc[:, 0]))
-        dwcx = unflat(expand(res.dwc[:, 0]))
+        has_cross = unflat(ncr_x) >= 1
+        xc = unflat(xcs_x[:, 0, :])
+        kc = unflat(kcs_x[:, 0, :])
+        tcx = unflat(tcs_x[:, 0])
+        dwcx = unflat(dwcs_x[:, 0])
 
         if mega_chain:
             # chain outputs: crossing index m = ncl, in-kernel restarts r_ch
-            ncl = unflat(expand(res.n_cross))                    # [E, K]
-            cutl = unflat(expand(res.cut_short))
-            r_ch = jnp.where(chainy, unflat(expand(res.chain_nodes)), 0)
+            ncl = unflat(ncr_x)                                  # [E, K]
+            cutl = unflat(cut_x)
+            r_ch = jnp.where(chainy, unflat(chain_x), 0)
             ended3 = chainy & cutl
-            xc_all = unflat(expand(res.xc))                      # [E,K,CH,3]
-            kc_all = unflat(expand(res.kc))
-            tc_all = unflat(expand(res.tc))
-            dwc_all = unflat(expand(res.dwc))
-            pcx_all = unflat(expand(res.pcx))
+            xc_all = unflat(xcs_x)                               # [E,K,CH,3]
+            kc_all = unflat(kcs_x)
+            tc_all = unflat(tcs_x)
+            dwc_all = unflat(dwcs_x)
+            pcx_all = unflat(pcx_x)
             # pending-child gate: the kernel stopped AT the budget (m == cap)
             # and the last crossing passes the host rare check; a stop below
             # budget means the kernel itself flagged the crossing rare
@@ -513,9 +572,9 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         xc_s = jnp.where(cross_ok[..., None], xc, pos_safe)
         kc_s = jnp.where(cross_ok[..., None], kc, k_safe)
         erg_c = ergK * jnp.abs(dwcx)
-        if getattr(res, "pcx", None) is not None:
+        if pcx_x is not None:
             # in-kernel probabilities: no separate device batch needed
-            pcx = jnp.where(cross_ok, unflat(expand(res.pcx[:, 0])), 0.0)
+            pcx = jnp.where(cross_ok, unflat(pcx_x[:, 0]), 0.0)
         elif W2 < E * K:
             ckey = cross_ok.reshape(E * K).astype(jnp.float32)
             n_co = jnp.sum(ckey)
@@ -545,10 +604,10 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         def sc2(buf, val, slot):
             return buf.at[eK, slot].set(val, mode="drop")
 
-        traj_k = unflat(expand(res.traj))
-        mom_k = unflat(expand(res.mom))
-        ferg_v = unflat(expand(res.erg[:, -1]))
-        ftime_v = unflat(expand(res.final_lnt))
+        traj_k = unflat(traj_x)
+        mom_k = unflat(mom_x)
+        ferg_v = unflat(erg_x)
+        ftime_v = unflat(flnt_x)
         if mega_chain:
             # launch-end state (the terminal CHAIN node's endpoint), saved
             # before node A's fields are redirected to crossing 0
@@ -578,7 +637,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             ftime=sc2(pl.ftime, ftime_v, sel_w),
             traj=sc2(pl.traj, traj_k, sel_w),
             mom=sc2(pl.mom, mom_k, sel_w),
-            times=sc2(pl.times, unflat(expand(res.times)), sel_w),
+            times=sc2(pl.times, unflat(times_x), sel_w),
             xc=sc2(pl.xc, xc, sel_x),
             kc=sc2(pl.kc, kc, sel_x),
             tcx=sc2(pl.tcx, tcx, sel_x),
@@ -840,6 +899,52 @@ def compact_finals(pools: TreePools, F: int):
         one(pools.weight), one(pools.prob), one(pools.prob_conv),
         one(pools.prob_conv0), one(pools.t), g(pools.fpos), g(pools.fmom),
     ], axis=-1)
+
+
+def compact_finals_global(pools: TreePools, cap: int, out_dtype=None):
+    """Batch-GLOBAL compaction of the final nodes into one dense
+    [cap+1, 14] pack: per row
+      [event, is_photon, ferg, weight, prob, prob_conv, prob_conv0, t,
+       fpos(3), fmom(3)]
+    ordered by (event, processing order), with the total finals count in the
+    trailer row.  The per-event pack (compact_finals) must size for the
+    worst event (F = num_cutoff + mc_nodes + 1 slots each) while the actual
+    population is ~2-3 finals/event — at production cutoffs the global pack
+    ships ~25x fewer bytes over the tunneled-TPU link.  cap bounds the TOTAL
+    finals per batch; the host detects overflow from the trailer count.
+
+    out_dtype=float32 is safe for every packed field (energies ~1e-5,
+    positions ~1e2 km, probabilities); the driver keeps it at the state
+    dtype on the CPU/golden path."""
+    d = out_dtype or pools.pos.dtype
+    E, P = pools.pos.shape[:2]
+    assert E * P < (1 << 24), "sort key exceeds f32 exact-integer range"
+    final = (pools.status == 2) & pools.is_final
+    # (event, order)-ascending selection: order <= max_nodes+1 < P, so
+    # e*P + order is unique and exact in f32 below 2^24
+    gkey = jnp.where(
+        final,
+        -(jnp.arange(E)[:, None] * P + pools.order).astype(jnp.float32),
+        -jnp.inf)
+    top, idx = lax.top_k(gkey.reshape(E * P), cap)
+    valid = jnp.isfinite(top)
+    e_idx = idx // P
+
+    def g(a):
+        return jnp.where(valid, a.reshape(E * P)[idx], 0).astype(d)[:, None]
+
+    def g3(a):
+        return jnp.where(valid[:, None], a.reshape(E * P, 3)[idx], 0).astype(d)
+
+    rows = jnp.concatenate([
+        jnp.where(valid, e_idx, 0).astype(d)[:, None],
+        g(pools.is_photon), g(pools.ferg), g(pools.weight), g(pools.prob),
+        g(pools.prob_conv), g(pools.prob_conv0), g(pools.t),
+        g3(pools.fpos), g3(pools.fmom),
+    ], axis=1)
+    trailer = jnp.zeros((1, 14), d).at[0, 0].set(
+        jnp.sum(final).astype(d))
+    return jnp.concatenate([rows, trailer], axis=0)
 
 
 def print_tree(result: TreeResult, event: int = 0):

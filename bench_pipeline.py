@@ -53,7 +53,9 @@ def main():
                r_ns=10.0, mass_ns=1.0)
     cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
                          compute_dtype=compute_dtype, engine=engine,
-                         mc_chain=int(os.environ.get("BENCH_MC_CHAIN", "1")),
+                         mc_chain=int(os.environ.get("BENCH_MC_CHAIN", "0")),
+                         mc_chain_gate=int(os.environ.get("BENCH_CHAIN_GATE", "4")),
+                         in_kernel_prob=int(os.environ.get("BENCH_IKP", "1")),
                          tree_k=int(os.environ.get("BENCH_TREE_K", "0")))
     deep = os.environ.get("BENCH_DEEP", "") == "1"
     if deep:  # the reference's production scale (runner_example.sh:4)
@@ -95,6 +97,10 @@ def main():
         "nodes_per_sec": round(stats.tot_nodes / dt, 1),
         "rows": int(rows.shape[0]),
         "wall_s": round(dt, 3),
+        "t_sample": round(stats.t_sample, 3),
+        "t_pipeline": round(stats.t_pipeline, 3),
+        "t_fetch": round(stats.t_fetch, 3),
+        "t_rows": round(stats.t_rows, 3),
         "engine": engine,
         "compute_dtype": compute_dtype,
         "platform": platform,

@@ -110,9 +110,12 @@ def test_golden_pinned_rows(tmp_path):
             "--ftag", "gold"]
     assert main(args) == 0
     rows = np.load(_npy(d, "gold"))
-    assert rows.shape == (8, 29)
+    # Re-pinned in round 3: the sampler's draw stream moved to per-batch
+    # keys (fold_in(batch_key, chunk)) for the async sample-ahead pipeline,
+    # which changes the sampled events at a given seed.
+    assert rows.shape == (6, 29)
     np.testing.assert_allclose(
         rows[:, 8],
-        [1.63210147e-03, 1.95543827e-06, 3.10107856e-03, 9.44399874e-06,
-         4.62802112e-08, 2.22313399e-08, 2.19889740e-10, 2.05004373e-03],
+        [1.37646785e-03, 1.04814701e-02, 8.54149604e-05, 6.64345269e-05,
+         3.15848565e-07, 7.85425213e-04],
         rtol=1e-6)

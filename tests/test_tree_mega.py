@@ -46,7 +46,7 @@ def _cfg(in_kernel_prob, mc_chain=0, mc_chain_slots=8):
     return NumericsConfig(engine="mega", compute_dtype="f32", interp_points=8,
                           max_crossings=8, max_steps=2000,
                           in_kernel_prob=in_kernel_prob, mc_chain=mc_chain,
-                          mc_chain_slots=mc_chain_slots)
+                          mc_chain_slots=mc_chain_slots, mc_chain_gate=0)
 
 
 def test_backtrace_mega_in_kernel_prob():
