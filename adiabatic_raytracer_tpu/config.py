@@ -95,7 +95,24 @@ class NumericsConfig:
     # --- static ---
     max_steps: int = static_field(100_000)
     n_save: int = static_field(3)           # "ntimes": saved trajectory points
-    interp_points: int = static_field(16)   # event-scan points per step (ref: 50)
+    # Event-scan density per accepted step.  The reference's
+    # ContinuousCallback scans 50 interpolation points (RayTracer.jl:357-358)
+    # and the crossing census (bench_census.py) shows no lower density
+    # matches: ~4.5% of production-backtrace crossings live in tangent
+    # double-crossing pairs inside one scan sub-interval, and the missed
+    # count is nearly FLAT in K below 50 — so 50 is the default, not a
+    # smaller census-matched value (none exists).
+    interp_points: int = static_field(50)
+    # Two-phase gated scan (megakernel only): a coarse interp_coarse-point
+    # pass runs every step; the full interp_points pass runs under a
+    # tile-level scf.if only when some lane bracketed a sign flip or its
+    # min |condition| over the coarse samples dipped below scan_gate_theta
+    # (the condition is the normalized photon Hamiltonian H/omega^2 —
+    # O(0.5) away from the conversion surface — so a dip flags a possible
+    # tangent pair between coarse points).  Census-validated against the
+    # plain 50-point scan; 0 or >= interp_points disables the gate.
+    interp_coarse: int = static_field(8)
+    scan_gate_theta: Any = 0.08
     bisect_iters: int = static_field(60)    # event root refinement iterations
     max_roots_per_step: int = static_field(3)
     max_crossings: int = static_field(16)   # crossing buffer capacity per ray

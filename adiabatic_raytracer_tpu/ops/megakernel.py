@@ -166,6 +166,8 @@ class SceneConsts:
         self.max_fac = float(cfg.max_dt_factor)
         self.max_steps = int(cfg.max_steps)
         self.interp = int(cfg.interp_points)
+        self.interp_coarse = int(cfg.interp_coarse)
+        self.gate_theta = float(cfg.scan_gate_theta)
         # f32 root refinement: the bracket starts at tau-width 1/interp, so
         # (24 - log2(interp)) halvings reach 2^-24 = the f32 ulp of tau —
         # more iterations cannot move the result
@@ -560,6 +562,7 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         for i in range(8):
             cross_ref[:, 8 * slot + i, :] = zrow
         pcx_ref[:, slot, :] = zrow
+    diag_ref[:, 6, :] = zrow  # fine-scan (gated) step counter, bumped in-loop
     save_mid = tuple(jnp.zeros_like(lnt) for _ in range(7))
     code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
     lnt_ck = lnt
@@ -624,25 +627,64 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         g_new = _condition(C, u_new, lnt + h)
 
         # --- event scan on the Hermite interpolant ---
+        # Two-phase gated scan: reference event-scan density
+        # (interp_points=50, RayTracer.jl:357-358) without paying ~50
+        # condition evaluations on every step.  A coarse interp_coarse-point
+        # pass always runs, tracking sign flips AND the minimum |g| over its
+        # samples; the full fine pass runs under a tile-level scf.if only
+        # when some accepted lane either bracketed a flip (the fine pass
+        # re-brackets it at 1/K resolution) or dipped below gate_theta —
+        # |g| is the normalized photon Hamiltonian H/omega^2, O(0.5) away
+        # from the conversion surface, so a small coarse sample flags a
+        # possible tangent double crossing hiding between coarse points
+        # (exactly what the dense reference scan exists to catch).
+        # Validated against the plain K=50 scan by the crossing census
+        # (bench_census.py: missed_vs_plain50 == 0 at theta=0.08).
         K = C.interp
-        flip_found = jnp.zeros_like(done)
-        tau_lo = jnp.zeros_like(lnt)
-        tau_hi = jnp.zeros_like(lnt)
-        g_prev = g0
-        tau_prev = jnp.zeros_like(lnt)
-        for j in range(1, K + 1):
-            tau_j = j / K
-            if j < K:
-                u_j = _hermite(u, u_new, f0, f_new, h, tau_j)
-                g_j = _condition(C, u_j, lnt + tau_j * h)
-            else:
-                g_j = g_new
-            flip = (jnp.sign(g_prev) * jnp.sign(g_j) < 0) & ~flip_found
-            tau_lo = jnp.where(flip, tau_prev, tau_lo)
-            tau_hi = jnp.where(flip, tau_j, tau_hi)
-            flip_found = flip_found | flip
-            g_prev = g_j
-            tau_prev = jnp.full_like(lnt, tau_j)
+        Kc = C.interp_coarse if 0 < C.interp_coarse < C.interp else 0
+
+        def _scan(Kn, want_gmin):
+            flip_found = jnp.zeros_like(done)
+            tau_lo = jnp.zeros_like(lnt)
+            tau_hi = jnp.zeros_like(lnt)
+            g_prev = g0
+            tau_prev = jnp.zeros_like(lnt)
+            gmin = jnp.abs(g0) if want_gmin else None
+            for j in range(1, Kn + 1):
+                tau_j = j / Kn
+                if j < Kn:
+                    u_j = _hermite(u, u_new, f0, f_new, h, tau_j)
+                    g_j = _condition(C, u_j, lnt + tau_j * h)
+                else:
+                    g_j = g_new
+                flip = (jnp.sign(g_prev) * jnp.sign(g_j) < 0) & ~flip_found
+                tau_lo = jnp.where(flip, tau_prev, tau_lo)
+                tau_hi = jnp.where(flip, tau_j, tau_hi)
+                flip_found = flip_found | flip
+                if want_gmin:
+                    gmin = jnp.minimum(gmin, jnp.abs(g_j))
+                g_prev = g_j
+                tau_prev = jnp.full_like(lnt, tau_j)
+            return flip_found, tau_lo, tau_hi, gmin
+
+        if Kc:
+            flip_c, tlo_c, thi_c, gmin = _scan(Kc, True)
+            sus = accept & (flip_c | (gmin < C.gate_theta))
+            any_sus = jnp.max(jnp.where(sus, 1.0, 0.0)) > 0.5
+
+            def _fine_scan(_):
+                diag_ref[:, 6, :] = diag_ref[:, 6, :] + 1.0
+                ff, tl, th_, _ = _scan(K, False)
+                return jnp.where(ff, 1.0, 0.0), tl, th_
+
+            def _keep_coarse(_):
+                return jnp.where(flip_c, 1.0, 0.0), tlo_c, thi_c
+
+            ff_f, tau_lo, tau_hi = lax.cond(any_sus, _fine_scan,
+                                            _keep_coarse, 0)
+            flip_found = ff_f > 0.5
+        else:
+            flip_found, tau_lo, tau_hi, _ = _scan(K, False)
         flip_found = flip_found & accept
 
         # Event block — tile-level skip: most steps bracket no crossing in
@@ -908,8 +950,8 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     diag_ref[:, 3, :] = g0
     diag_ref[:, 4, :] = nodes_used
     diag_ref[:, 5, :] = is_ph
-    for i in range(6, 8):
-        diag_ref[:, i, :] = jnp.zeros_like(steps)
+    # diag[6] = fine-scan step count (written in-loop); diag[7] spare
+    diag_ref[:, 7, :] = jnp.zeros_like(steps)
     # cross_ref / pcx_ref were written in place at record time
     for i in range(7):
         save_ref[:, i, :] = save_mid[i]
@@ -923,7 +965,8 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     """Run the megakernel over a [B, 7] state batch (B a multiple of
     128*tile_rows).  Returns (u_final [B,7], lnt_final [B], steps [B],
     code [B], n_cross [B], cross_u [B, n_slots, 7], cross_lnt [B, n_slots],
-    save_mid [B, 7], pcx [B, n_slots], chain_nodes [B], is_ph_out [B]).
+    save_mid [B, 7], pcx [B, n_slots], chain_nodes [B], is_ph_out [B],
+    n_fine_scans [B] — tile-steps on which the gated fine event scan ran).
     species: 'photon' | 'axion' | 'mixed' (static).  with_prob: evaluate the
     conversion probability in-kernel at each recorded crossing (requires
     SceneConsts.can_prob).  chain_cap [B] (f32; 0 = off) + uniforms
@@ -996,7 +1039,7 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     pcx_out = jnp.stack([pcx[:, slot, :].reshape(B)
                          for slot in range(n_slots)], axis=1)     # [B, n_slots]
     return (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid, pcx_out,
-            dg(4), dg(5))
+            dg(4), dg(5), dg(6))
 
 
 def flops_per_step(sc: Scene, cfg: NumericsConfig, species="photon"):
@@ -1036,7 +1079,12 @@ def flops_per_step(sc: Scene, cfg: NumericsConfig, species="photon"):
     rhs = rhs_f / per_lane
     cond = cond_f / per_lane
     herm = herm_f / per_lane
+    # With the gated two-phase scan only the coarse pass runs on every
+    # step; the fine pass is a tile-gated minority cost (reported by the
+    # bench as gate_frac) and, like the event block, is excluded here.
     k = max(int(cfg.interp_points), 1)
+    if 0 < int(cfg.interp_coarse) < k:
+        k = int(cfg.interp_coarse)
     return 6.0 * rhs + (k - 1) * (cond + herm) + cond + 2.0 * herm
 
 
@@ -1088,7 +1136,7 @@ def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
         chain_cap=pad(chain_cap) if with_chain else None,
         uniforms=pad(uniforms) if with_chain else None)
     (uf, lntf, steps, code, n_cross, cru, crlnt, save_mid, pcx,
-     chain_nodes, is_ph_out) = [o[:B] for o in out]
+     chain_nodes, is_ph_out, _n_fine) = [o[:B] for o in out]
 
     dtype = x0_cart.dtype
     uf = uf.astype(dtype)

@@ -95,11 +95,19 @@ def main():
 
     xpos, k_init, erg = _sample_events(sc, n, seed, base)
 
+    # Ground truth is the PLAIN (ungated) 50-point scan — the reference's
+    # exact density; every other configuration (including gated-50, the
+    # production default) is compared against it.
+    import dataclasses
+    configs = {}
+    for k in sorted(set(ks)):
+        configs[str(k)] = dataclasses.replace(base, interp_points=k)
+    configs["50plain"] = dataclasses.replace(base, interp_points=50,
+                                             interp_coarse=0)
+
     results = {}
     walls = {}
-    import dataclasses
-    for k in sorted(set(ks)):
-        cfg = dataclasses.replace(base, interp_points=k)
+    for name, cfg in configs.items():
         bt_fn = jax.jit(lambda x, ki, e, cfg=cfg: tree.backtrace(
             x, ki, e, sc, cfg, tcfg, lnt_end=0.0))
         out = bt_fn(xpos, k_init, erg)
@@ -109,12 +117,12 @@ def main():
         out = bt_fn(xpos, k_init, erg)
         nc = np.asarray(out.raw_n_cross)
         tc = np.asarray(out.raw_tc)
-        walls[k] = time.perf_counter() - t0
-        results[k] = (nc, tc)
+        walls[name] = time.perf_counter() - t0
+        results[name] = (nc, tc)
 
-    nc50, tc50 = results[50]
-    for k in sorted(set(ks)):
-        nc, tc = results[k]
+    nc50, tc50 = results["50plain"]
+    for name in configs:
+        nc, tc = results[name]
         same_n = nc == nc50
         missed = 0
         extra = int(np.sum(np.maximum(nc - nc50, 0)))
@@ -127,16 +135,20 @@ def main():
                 if b.size == 0 or np.min(np.abs(b - t)) > 0.01 * max(t, 1e-12):
                     missed += 1
         hist = np.bincount(np.minimum(nc, 8), minlength=9).tolist()
+        cfg = configs[name]
+        gated = 0 < cfg.interp_coarse < cfg.interp_points
         print(json.dumps({
             "metric": "crossing_census",
-            "interp_points": k,
+            "config": name,
+            "interp_points": cfg.interp_points,
+            "gated": bool(gated),
             "events": int(n),
             "total_crossings": int(nc.sum()),
             "n_cross_hist": hist,
             "events_diff_vs_50": int((~same_n).sum()),
             "missed_vs_50": int(missed),
             "extra_vs_50": extra,
-            "wall_s": round(walls[k], 3),
+            "wall_s": round(walls[name], 3),
             "engine": engine,
             "platform": platform,
         }))

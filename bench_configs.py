@@ -71,7 +71,7 @@ def main():
         nbins = 50
         sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
                    b0=1e14, r_ns=10.0, mass_ns=1.0)
-        cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
+        cfg = NumericsConfig(rtol=1e-7, atol=1e-6,  # interp: package default (gated 50)
                              compute_dtype=compute_dtype)
         x, v = _launch_states(CH)
         erg = np.full(CH, 1e-5 * (1 + 0.5 * (220.0 / 2.99792e5) ** 2))
@@ -137,7 +137,7 @@ def main():
         masses = np.array([3e-6, 1e-5, 3e-5])
         b0s = np.array([3e13, 1e14])
         scan = [(m, b) for m in masses for b in b0s]
-        cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
+        cfg = NumericsConfig(rtol=1e-7, atol=1e-6,  # interp: package default (gated 50)
                              compute_dtype=compute_dtype)
         x, v = _launch_states(B)
         x, v = jnp.asarray(x), jnp.asarray(v)

@@ -51,7 +51,7 @@ def main():
 
     sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
                r_ns=10.0, mass_ns=1.0)
-    cfg = NumericsConfig(rtol=1e-7, atol=1e-6, interp_points=8,
+    cfg = NumericsConfig(rtol=1e-7, atol=1e-6,  # interp: package default (gated 50)
                          compute_dtype=compute_dtype, engine=engine,
                          mc_chain=int(os.environ.get("BENCH_MC_CHAIN", "0")),
                          mc_chain_gate=int(os.environ.get("BENCH_CHAIN_GATE", "4")),

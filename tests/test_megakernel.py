@@ -211,3 +211,58 @@ def test_rhs_reverse_mode_matches_pool_f64():
         m = np.abs(ref[:, i]) > 1e-6 * scale
         assert np.median(err[m]) < 5e-6, (i, np.median(err[m]))
         assert err[m].max() < 5e-3, (i, err[m].max())
+
+
+def test_gated_scan_matches_plain():
+    """Two-phase gated event scan == plain dense scan, bit-exactly.
+
+    The production default runs the reference's 50-point scan density
+    (RayTracer.jl:357-358) behind a coarse-pass gate (config.interp_coarse /
+    scan_gate_theta); this pins that the gate changes nothing: crossing
+    topology, crossing states and endpoints are identical to the ungated
+    scan on a mixed ensemble.  The large-ensemble version of this check is
+    bench_census.py (gated-50 vs plain-50 on 64k production backtraces)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+    from adiabatic_raytracer_tpu.ops.geometry import cart_to_sph, celerity_from_cart
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    B = 128
+    rng = np.random.default_rng(0)
+    r = rng.uniform(14.0, 24.0, B)
+    th = np.arccos(rng.uniform(-0.9, 0.9, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = rng.normal(size=(B, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+    t_end = 1e-3
+    k0n = k_norm_cart(jnp.asarray(x), jnp.asarray(v), 0.0, jnp.asarray(erg),
+                      sc, sc.mass_ns, is_photon=True, ax_fix=True)
+    w0 = celerity_from_cart(jnp.asarray(x), k0n, sc.mass_ns_eff) \
+        / jnp.asarray(erg)[:, None]
+    u0 = jnp.concatenate([cart_to_sph(jnp.asarray(x)), w0,
+                          (-jnp.asarray(erg))[:, None]], axis=1)
+
+    outs = {}
+    # interp 16/coarse 4 keeps the interpret-mode runtime test-sized while
+    # exercising both branches of the gate (31 gated tile-steps measured)
+    for name, coarse in [("gated", 4), ("plain", 0)]:
+        cfg = NumericsConfig(interp_points=16, interp_coarse=coarse,
+                             compute_dtype="f32", max_steps=3000)
+        with pltpu.force_tpu_interpret_mode():
+            outs[name] = mk.integrate_mega(
+                u0, jnp.full(B, cfg.ln_t_start),
+                jnp.full(B, float(np.log(t_end))),
+                jnp.asarray(erg), jnp.asarray(x), sc, cfg)
+    g, p = outs["gated"], outs["plain"]
+    np.testing.assert_array_equal(np.asarray(g[4]), np.asarray(p[4]))  # n_cross
+    np.testing.assert_array_equal(np.asarray(g[5]), np.asarray(p[5]))  # cross_u
+    np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(p[0]))  # u_final
+    assert float(np.asarray(g[11]).max()) > 0          # the gate did fire
+    assert float(np.asarray(p[11]).max()) == 0.0       # plain never gates
