@@ -423,13 +423,25 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             capf = jnp.clip(
                 (tcfg.max_nodes + 2 - count_now).astype(jnp.float32),
                 1.0, float(CH))
-            cap = jnp.where(chain_lane, capf, 1.0)
-            chainy = chain_lane & (cap > 1.5)
-            uni = jnp.stack([
-                jax.vmap(lambda kk: jax.random.uniform(kk, dtype=jnp.float32))(
-                    jax.vmap(jax.random.fold_in)(keys_rep,
-                                                 flat(count_now) + i))
-                for i in range(CH)], axis=1).reshape(E, K, CH)
+            # uniform stream fold_in(event_key, node_index): slot 0 for every
+            # lane (the non-chain MC draw) but slots 1..CH-1 only for the
+            # lead lane — the only chain-eligible one — so the iteration pays
+            # E*(K+CH-1) Threefry draws instead of the E*K*CH full grid
+            # (which was pure waste on the K-1 never-chaining lanes and a
+            # measurable share of the per-iteration glue)
+            u32 = lambda ks, ix: jax.vmap(
+                lambda kk: jax.random.uniform(kk, dtype=jnp.float32))(
+                    jax.vmap(jax.random.fold_in)(ks, ix))
+            uni0 = unflat(u32(keys_rep, flat(count_now)))          # [E, K]
+            if CH > 1:
+                uniC = jnp.stack([u32(keys, count_now[:, 0] + i)
+                                  for i in range(1, CH)], axis=1)  # [E, CH-1]
+                tail = jnp.concatenate(
+                    [uniC[:, None, :],
+                     jnp.zeros((E, K - 1, CH - 1), jnp.float32)], axis=1)
+                uni = jnp.concatenate([uni0[:, :, None], tail], axis=2)
+            else:
+                uni = uni0[:, :, None]
 
         # --- global work-queue compaction: pick the W lanes to launch ---
         if W < E * K:
@@ -454,10 +466,29 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
         lnt0 = jnp.log(jnp.maximum(t_node, jnp.exp(jnp.asarray(dt0_ln, dtype))))
         lnt0 = jnp.where(valid, lnt0, lnt1K)  # inert lanes exit immediately
+        # Launch-width bucketing: the work queue drains to a handful of
+        # active lanes in the endgame iterations — which are MOST of the
+        # iteration count at production cutoffs — yet a static-width launch
+        # pays every tile it ships (the grid runs tile-sequentially on the
+        # core).  A narrow 2-tile variant takes iterations whose valid-lane
+        # count fits (measured ~2x on the deep pipeline; both compile).
+        W_SMALL = 256
+        bucketed = cfg.engine == "mega" and W_SMALL < W
+        small_now = jnp.sum(valid) <= W_SMALL
+        if mega_chain:
+            # Chains ride ONLY the narrow endgame bucket: the wide bucket
+            # keeps the lighter non-chain kernel (no chain carries, no
+            # restart block), so the branching phase never pays the chain
+            # variant's per-step cost.  The narrow bucket is exactly where
+            # chains live anyway — a chain event has ONE pending lane, so a
+            # chain-dominated queue always fits W_SMALL.
+            chain_lane = chain_lane & (small_now if bucketed else True)
+            cap = jnp.where(chain_lane, capf, 1.0)
+            chainy = chain_lane & (cap > 1.5)
         if cfg.engine == "mega":
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
-            def launch_mega(Wb):
+            def launch_mega(Wb, chain):
                 # pack the valid lanes into a Wb-wide launch and expand the
                 # results back onto the [E*K] lane grid
                 _, gidxb = lax.top_k(
@@ -470,34 +501,39 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
 
                 res = propagate_mega(
                     gb(pos0), gb(k0), sc, cfg,
-                    max_crossings=CH if mega_chain else 1,
+                    max_crossings=CH if chain else 1,
                     with_prob=bool(cfg.in_kernel_prob),
-                    chain_cap=gb(cap) if mega_chain else None,
-                    uniforms=gb(uni) if mega_chain else None,
+                    chain_cap=gb(cap) if chain else None,
+                    uniforms=gb(uni) if chain else None,
                     erg=gb(ergK), delta_w=gb(dw_node), lnt0=gb(lnt0),
                     lnt1=gb(lnt1K), is_photon=gb(is_ph), species="mixed")
-                outs = [res.n_cross, res.cut_short, res.xc, res.kc, res.tc,
-                        res.dwc, res.traj, res.mom, res.erg[:, -1],
+
+                def slotpad(a):
+                    # pad the crossing-slot axis to CH so the chain and
+                    # non-chain bucket variants return one pytree shape
+                    if not mega_chain or a.shape[1] == CH:
+                        return a
+                    return jnp.pad(
+                        a, [(0, 0), (0, CH - a.shape[1])]
+                        + [(0, 0)] * (a.ndim - 2))
+
+                outs = [res.n_cross, res.cut_short, slotpad(res.xc),
+                        slotpad(res.kc), slotpad(res.tc), slotpad(res.dwc),
+                        res.traj, res.mom, res.erg[:, -1],
                         res.final_lnt, res.times]
                 if res.pcx is not None:
-                    outs.append(res.pcx)
+                    outs.append(slotpad(res.pcx))
                 if mega_chain:
-                    outs.append(res.chain_nodes)
+                    outs.append(res.chain_nodes if chain
+                                else jnp.zeros(res.n_cross.shape, jnp.int32))
                 return tuple(xb(o) for o in outs)
 
-            # Launch-width bucketing: the work queue drains to a handful of
-            # active lanes in the endgame iterations — which are MOST of the
-            # iteration count at production cutoffs — yet a static-width
-            # launch pays for all W lanes' tiles in lockstep.  A narrow
-            # 2-tile variant takes iterations whose valid-lane count fits
-            # (measured ~2x on the deep pipeline; both variants compile).
-            W_SMALL = 256
-            if W_SMALL < W:
-                outs = lax.cond(jnp.sum(valid) <= W_SMALL,
-                                lambda _: launch_mega(W_SMALL),
-                                lambda _: launch_mega(W), 0)
+            if bucketed:
+                outs = lax.cond(small_now,
+                                lambda _: launch_mega(W_SMALL, mega_chain),
+                                lambda _: launch_mega(W, False), 0)
             else:
-                outs = launch_mega(W)
+                outs = launch_mega(W, mega_chain)
             (ncr_x, cut_x, xcs_x, kcs_x, tcs_x, dwcs_x, traj_x, mom_x,
              erg_x, flnt_x, times_x, *rest) = outs
             rest = list(rest)
