@@ -28,6 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_RT", type=int, default=1, help="should we run ray tracer?")
     p.add_argument("--run_Combine", type=int, default=0, help="should we combine file runs")
     p.add_argument("--side_runs", type=int, default=0, help="how many runs do we combine?")
+    p.add_argument("--combine_renumber", type=int, default=0,
+                   help="combine mode: offset each shard's event ids by the "
+                        "accumulated last id (the Combine_Files.py:22 "
+                        "behavior; Julia keeps per-shard ids)")
+    p.add_argument("--combine_allow_missing", type=int, default=0,
+                   help="combine mode: merge whatever shards exist instead "
+                        "of requiring all side_runs (Combine_Files.py:10-25)")
     p.add_argument("--rNS", type=float, default=10.0, help="radius NS in km")
     p.add_argument("--Mass_NS", type=float, default=1.0, help="Mass NS in solar masses")
     p.add_argument("--vNS_x", type=float, default=0.0, help="vel NS x in c")
@@ -144,7 +151,9 @@ def main(argv=None) -> int:
         out = combine_files(args.dir_tag, args.MassA, args.Axg, args.ThetaM,
                             args.rotW, args.B0, args.Nts, 3, args.numCutoff,
                             args.MCNodes, args.maxNodes, args.ftag,
-                            args.side_runs)
+                            args.side_runs,
+                            renumber_events=bool(args.combine_renumber),
+                            allow_missing=bool(args.combine_allow_missing))
         print(f"combined -> {out}")
 
     print(f"\ntime diff: {time.time() - t0:.1f}s")

@@ -50,3 +50,29 @@ def test_combine(tmp_path):
     import glob, os
 
     assert not glob.glob(os.path.join(d, "npy", "*.npy"))
+
+
+def test_combine_renumber_and_missing(tmp_path):
+    """Opt-in Combine_Files.py behaviors: compounding event renumbering
+    (line 22) and glob-whatever-exists fault tolerance (lines 10-25)."""
+    d = str(tmp_path)
+    # shards 0, 1, 3 exist (shard 2 "died"); events numbered per-shard
+    for i, n_ev in ((0, 2), (1, 3), (3, 2)):
+        arr = np.full((n_ev, 13), 2.0)
+        arr[:, 0] = np.arange(1, n_ev + 1)  # per-shard event ids 1..n
+        save_npy(tree_filename(d, 1e-5, 1e-12, 0.2, 1.0, 1e14, 10, 3, 5, 5, 50,
+                               f"t{i}"), arr)
+    out = combine_files(d, 1e-5, 1e-12, 0.2, 1.0, 1e14, 10, 3, 5, 5, 50, "t",
+                        4, renumber_events=True, allow_missing=True)
+    merged = np.load(out)
+    assert merged.shape == (7, 13)
+    # compounding offsets: shard1 += 2 (last id of shard0), shard3 += 5
+    np.testing.assert_allclose(merged[:, 0], [1, 2, 3, 4, 5, 6, 7])
+    # sln_prob divided by the number of shards actually merged (nfiles=3)
+    np.testing.assert_allclose(merged[:, 7], 2.0 / 3)
+    # all-missing raises
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        combine_files(d, 1e-5, 1e-12, 0.2, 1.0, 1e14, 10, 3, 5, 5, 50, "t",
+                      4, allow_missing=True)
