@@ -53,8 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dir_tag", type=str, default="results")
     p.add_argument("--event_batch", type=int, default=0,
                    help="events propagated per vmapped batch; 0 = auto "
-                        "(512 on TPU — the device is >90%% idle below "
-                        "~256-event batches — 16 on CPU)")
+                        "(2048 on TPU, streamed through a 512-event tree "
+                        "window; 16 on CPU)")
+    p.add_argument("--tree_window", type=int, default=-1,
+                   help="forward-tree streaming window (active events per "
+                        "iteration; finished events refill from the batch); "
+                        "-1 = auto (512 when event_batch > 512 on any "
+                        "device), 0 = off")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
@@ -129,9 +134,18 @@ def main(argv=None) -> int:
     else:
         engine = args.engine
     if args.event_batch <= 0:
-        args.event_batch = 16 if jax.devices()[0].platform == "cpu" else 512
+        # TPU: big batches + a streaming window (below) amortize the MC
+        # chain tail over the whole batch; CPU: small batches for the
+        # 1-core host's trace time
+        args.event_batch = 16 if jax.devices()[0].platform == "cpu" else 2048
+    if args.tree_window < 0:
+        # auto: window the forward tree at 512 active events whenever the
+        # batch is bigger (measured 1.77x on the deep-cutoff forward tree:
+        # finished events' window lanes refill immediately instead of the
+        # batch draining at ~1-event occupancy; NumericsConfig.tree_window)
+        args.tree_window = 512 if args.event_batch > 512 else 0
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
-                         engine=engine)
+                         engine=engine, tree_window=args.tree_window)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
                       mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
 

@@ -143,6 +143,20 @@ class NumericsConfig:
     # K-1 nodes vs the reference; tree_k=1 forces per-node checks (exact
     # reference cutoff semantics, ~K times more iterations) for audit runs.
     tree_k: int = static_field(0)
+    # Streaming active window of the forward tree engine (ops/tree.py):
+    # pools hold ALL E events of the batch, but each iteration runs only an
+    # N-wide window of not-yet-finished events; a finished event's window
+    # lane refills IMMEDIATELY from the batch's unstarted events.  Motivation:
+    # the per-batch tail — the median event finishes in 2 iterations while
+    # the longest MC chain needs ~35, so ~75% of iterations run at <2%
+    # occupancy (measured occupancy integral 0.064 at production cutoffs,
+    # E=512).  Windowing keeps per-iteration cost at the N-event level
+    # while amortizing the tail over the whole batch.  Per-event results
+    # are BITWISE IDENTICAL to the unwindowed engine (MC draws are keyed by
+    # (event key, node index); slot allocation is per event) — only the
+    # iteration schedule changes.  0 = off (window == E, per-batch engine);
+    # driver auto on TPU pairs event_batch=2048 with tree_window=512.
+    tree_window: int = static_field(0)
     # Device->host transfer budget for the finals pack: the driver ships the
     # batch's final nodes as ONE globally-compacted array sized
     # finals_cap_per_event * event_batch rows (tree.compact_finals_global).

@@ -233,6 +233,10 @@ class TreeResult(NamedTuple):
                        # event (perf diagnostic: == the longest sequential
                        # chain across the batch; [E]-shaped so the result
                        # pytree shards uniformly over the event axis)
+    done_it: Any       # [E] iteration (1-based) at which each event's
+                       # cutoffs fired (perf diagnostic: the batch tail
+                       # profile — how many iterations ran with how many
+                       # events still active)
 
 
 def _alloc_pools(E, P, NS, dtype):
@@ -273,6 +277,14 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     from *global* event seeds so results do not depend on the device mesh).
     Each node's MC draw folds in its per-event processing index, so draws are
     invariant to how iterations batch the work.
+
+    cfg.tree_window = N (0 < N < E) runs the loop over an N-wide STREAMING
+    WINDOW of active events: pools hold all E events, each iteration gathers
+    the window's rows, and a finished event's window lane refills from the
+    batch's unstarted events immediately — so the long-chain tail of one
+    event overlaps other events' work instead of draining the whole batch
+    at ~1-event occupancy.  Per-event results are bitwise identical to the
+    unwindowed engine (see NumericsConfig.tree_window).
     """
     E = xpos.shape[0]
     dtype = xpos.dtype
@@ -325,18 +337,20 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     # count_now ranks, MC draw keys, and cutoff overshoot are untouched
     # whenever W covers all valid lanes (the typical case at the default
     # sizes: median pending per event is ~1).
+    # streaming active window (see docstring / NumericsConfig.tree_window):
+    # the per-iteration lane grid is [Ew, K]; window lane i holds event
+    # aw[i], refilled from the batch's unstarted events as events finish
+    Ew = E if cfg.tree_window <= 0 else int(min(cfg.tree_window, E))
+    streaming = Ew < E
     W = cfg.tree_queue_width
     if W <= 0:
-        W = max(((2 * E + 127) // 128) * 128, 128)
-    W = int(min(E * K, max(W, E)))  # >= E so every lead lane fits
+        W = max(((2 * Ew + 127) // 128) * 128, 128)
+    W = int(min(Ew * K, max(W, Ew)))  # >= Ew so every lead lane fits
     W2 = cfg.tree_prob_width
     if W2 <= 0:
         W2 = max(W // 4, 128)
-    W2 = int(min(E * K, W2))
-    lnt1 = jnp.broadcast_to(jnp.asarray(lnt_end, dtype), (E,))
-    lnt1K = jnp.broadcast_to(lnt1[:, None], (E, K))
-    ergK = jnp.broadcast_to(erg_inf[:, None], (E, K))
-    eK = jnp.broadcast_to(eidx[:, None], (E, K))
+    W2 = int(min(Ew * K, W2))
+    lnt1K = jnp.full((Ew, K), lnt_end, dtype)
     jrange = jnp.arange(K, dtype=jnp.int32)[None, :]
     DROP = P  # out-of-range scatter sentinel; writes masked via mode="drop"
     # benign state for inert work-queue lanes (they exit the integrator
@@ -354,6 +368,9 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         n_alloc: Any
         dw_anom: Any
         it: Any
+        done_it: Any
+        aw: Any       # [Ew] event id held by each window lane
+        cursor: Any   # next unstarted event (== E when not streaming)
 
     carry0 = Carry(
         pools=pools,
@@ -365,27 +382,46 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         n_alloc=jnp.ones(E, jnp.int32),
         dw_anom=jnp.zeros(E, jnp.int32),
         it=jnp.zeros((), jnp.int32),
+        done_it=jnp.zeros(E, jnp.int32),
+        aw=jnp.arange(Ew, dtype=jnp.int32),
+        cursor=jnp.asarray(Ew, jnp.int32),
     )
 
     def flat(a):
-        return a.reshape((E * K,) + a.shape[2:])
+        return a.reshape((Ew * K,) + a.shape[2:])
 
     def unflat(a):
-        return a.reshape((E, K) + a.shape[1:])
+        return a.reshape((Ew, K) + a.shape[1:])
 
     def body(c: Carry) -> Carry:
         pl = c.pools
-        pending = pl.status == 1
+        # window gathers: `row` lifts a per-event [E, ...] array onto the
+        # [Ew] window; all body arithmetic below runs at window width and
+        # per-event updates scatter back through `put` (aw entries are
+        # unique, so the scatter is well-defined)
+        aw = c.aw
+        if streaming:
+            row = lambda a: a[aw]
+            put = lambda old, new_w: old.at[aw].set(new_w)
+        else:
+            row = lambda a: a
+            put = lambda old, new_w: new_w
+        eK = jnp.broadcast_to(aw[:, None], (Ew, K))
+        ergK = jnp.broadcast_to(row(erg_inf)[:, None], (Ew, K))
+        keys_w = keys[aw] if streaming else keys
+        done_w = row(c.done)
+        count_w = row(c.count)
+        pending = row(pl.status) == 1
         has_pending = jnp.any(pending, axis=1)
-        active = ~c.done & has_pending
+        active = ~done_w & has_pending
         # K highest-weight pending nodes per event, weight-descending
         # (== sort! + pop, MainRunner.jl:342, K at a time)
         # selection keys sort in f32 on the f32 compute path (the weights
         # are f32-physics values anyway; a TPU sort over [E*P] f64 keys is
         # ~2x the cost) — ranking ties break by index either way
         skey = jnp.float32 if cfg.compute_dtype == "f32" else dtype
-        wmask = jnp.where(pending & active[:, None], pl.weight, -jnp.inf)
-        top_w, top_idx = lax.top_k(wmask.astype(skey), K)   # [E, K]
+        wmask = jnp.where(pending & active[:, None], row(pl.weight), -jnp.inf)
+        top_w, top_idx = lax.top_k(wmask.astype(skey), K)   # [Ew, K]
         valid = jnp.isfinite(top_w)
 
         def g2(buf):
@@ -400,7 +436,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         prob_conv_parent = g2(pl.prob_conv)
         # per-node processing index: rank within the iteration continues the
         # event's running count (the reference's `count` at pop time)
-        count_now = c.count[:, None] + 1 + jrange
+        count_now = count_w[:, None] + 1 + jrange
 
         # --- in-kernel MC chain eligibility ---
         # Only when the event has exactly ONE pending node and is in MC mode
@@ -411,14 +447,14 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         # max_nodes + 1, the reference's post-check overshoot), bounded by
         # the CH crossing slots; cap == 1 lanes run the pre-chain semantics
         # (terminate at first crossing, no in-kernel draw).
-        keys_rep = jnp.repeat(keys, K, axis=0)
+        keys_rep = jnp.repeat(keys_w, K, axis=0)
         if mega_chain:
             n_pend = jnp.sum(pending & active[:, None], axis=1)
-            chain_ev = (n_pend == 1) & (c.count + 1 > tcfg.mc_nodes)
+            chain_ev = (n_pend == 1) & (count_w + 1 > tcfg.mc_nodes)
             if cfg.mc_chain_gate > 0:
                 # endgame only: see NumericsConfig.mc_chain_gate
                 n_act = jnp.sum(active.astype(jnp.int32))
-                chain_ev = chain_ev & (n_act * cfg.mc_chain_gate <= E)
+                chain_ev = chain_ev & (n_act * cfg.mc_chain_gate <= Ew)
             chain_lane = valid & chain_ev[:, None] & (jrange == 0)
             capf = jnp.clip(
                 (tcfg.max_nodes + 2 - count_now).astype(jnp.float32),
@@ -432,33 +468,33 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             u32 = lambda ks, ix: jax.vmap(
                 lambda kk: jax.random.uniform(kk, dtype=jnp.float32))(
                     jax.vmap(jax.random.fold_in)(ks, ix))
-            uni0 = unflat(u32(keys_rep, flat(count_now)))          # [E, K]
+            uni0 = unflat(u32(keys_rep, flat(count_now)))          # [Ew, K]
             if CH > 1:
-                uniC = jnp.stack([u32(keys, count_now[:, 0] + i)
-                                  for i in range(1, CH)], axis=1)  # [E, CH-1]
+                uniC = jnp.stack([u32(keys_w, count_now[:, 0] + i)
+                                  for i in range(1, CH)], axis=1)  # [Ew, CH-1]
                 tail = jnp.concatenate(
                     [uniC[:, None, :],
-                     jnp.zeros((E, K - 1, CH - 1), jnp.float32)], axis=1)
+                     jnp.zeros((Ew, K - 1, CH - 1), jnp.float32)], axis=1)
                 uni = jnp.concatenate([uni0[:, :, None], tail], axis=2)
             else:
                 uni = uni0[:, :, None]
 
         # --- global work-queue compaction: pick the W lanes to launch ---
-        if W < E * K:
+        if W < Ew * K:
             gkey = jnp.where(valid, w_node.astype(skey), -jnp.inf)
             gkey = gkey + jnp.where(jrange == 0, 4.0, 0.0).astype(skey)
             # every event's lead lane outranks all non-lead lanes globally
-            topv, gsel = lax.top_k(gkey.reshape(E * K), W)
-            sel = jnp.zeros((E * K,), bool).at[gsel].set(jnp.isfinite(topv))
-            nsel = jnp.sum(sel.reshape(E, K), axis=1)
+            topv, gsel = lax.top_k(gkey.reshape(Ew * K), W)
+            sel = jnp.zeros((Ew * K,), bool).at[gsel].set(jnp.isfinite(topv))
+            nsel = jnp.sum(sel.reshape(Ew, K), axis=1)
             valid = valid & (jrange < nsel[:, None])   # tie-safe prefix
             # pack the (now <= W) valid lanes; top_k breaks ties toward lower
             # flat indices, i.e. event-major order
-            _, gidx = lax.top_k(valid.reshape(E * K).astype(jnp.float32), W)
+            _, gidx = lax.top_k(valid.reshape(Ew * K).astype(jnp.float32), W)
             gather = lambda a: flat(a)[gidx]
 
             def expand(field):
-                buf = jnp.zeros((E * K,) + field.shape[1:], field.dtype)
+                buf = jnp.zeros((Ew * K,) + field.shape[1:], field.dtype)
                 return buf.at[gidx].set(field)
         else:
             gather = flat
@@ -488,15 +524,23 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         if cfg.engine == "mega":
             from adiabatic_raytracer_tpu.ops.megakernel import propagate_mega
 
+            # Launch pack key: valid lanes first.  Ordering the packed lanes
+            # by remaining log-time span (so each 128-lane tile holds
+            # segments of similar step count) was A/B-measured a NON-LEVER
+            # at both cutoff sets (deep 758 vs 737-758 ev/s, default 1727 vs
+            # 1745, identical tree evolution) — within-iteration spans are
+            # already homogeneous (lead lanes resume from similar t), so
+            # don't retry tile-composition sorting here.
+            pack_key = valid.reshape(Ew * K).astype(jnp.float32)
+
             def launch_mega(Wb, chain):
                 # pack the valid lanes into a Wb-wide launch and expand the
                 # results back onto the [E*K] lane grid
-                _, gidxb = lax.top_k(
-                    valid.reshape(E * K).astype(jnp.float32), Wb)
+                _, gidxb = lax.top_k(pack_key, Wb)
                 gb = lambda a: flat(a)[gidxb]
 
                 def xb(field):
-                    buf = jnp.zeros((E * K,) + field.shape[1:], field.dtype)
+                    buf = jnp.zeros((Ew * K,) + field.shape[1:], field.dtype)
                     return buf.at[gidxb].set(field)
 
                 res = propagate_mega(
@@ -611,15 +655,15 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         if pcx_x is not None:
             # in-kernel probabilities: no separate device batch needed
             pcx = jnp.where(cross_ok, unflat(pcx_x[:, 0]), 0.0)
-        elif W2 < E * K:
-            ckey = cross_ok.reshape(E * K).astype(jnp.float32)
+        elif W2 < Ew * K:
+            ckey = cross_ok.reshape(Ew * K).astype(jnp.float32)
             n_co = jnp.sum(ckey)
             _, cidx = lax.top_k(ckey, W2)
 
             def compact_prob(_):
                 p2, _ = _prob_batch(flat(xc_s)[cidx], flat(kc_s)[cidx],
                                     flat(erg_c)[cidx], sc, cfg.compute_dtype)
-                return jnp.zeros((E * K,), p2.dtype).at[cidx].set(p2)
+                return jnp.zeros((Ew * K,), p2.dtype).at[cidx].set(p2)
 
             def full_prob(_):
                 pw, _ = _prob_batch(gather(xc_s), gather(kc_s),
@@ -627,7 +671,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
                 return expand(pw)
 
             pcx_flat = lax.cond(n_co <= W2, compact_prob, full_prob, 0)
-            pcx = jnp.where(cross_ok, pcx_flat.reshape(E, K), 0.0)
+            pcx = jnp.where(cross_ok, pcx_flat.reshape(Ew, K), 0.0)
         else:
             pcx_w, _ = _prob_batch(gather(xc_s), gather(kc_s),
                                    gather(erg_c), sc, cfg.compute_dtype)
@@ -666,7 +710,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             traj_k = jnp.where(mid[..., None, None], traj_A, traj_k)
             mom_k = jnp.where(mid[..., None, None], mom_A, mom_k)
         pl = pl._replace(
-            status=sc2(pl.status, jnp.full((E, K), 2, jnp.int32), sel_w),
+            status=sc2(pl.status, jnp.full((Ew, K), 2, jnp.int32), sel_w),
             fpos=sc2(pl.fpos, traj_k[:, :, -1, :], sel_w),
             fmom=sc2(pl.fmom, mom_k[:, :, -1, :], sel_w),
             ferg=sc2(pl.ferg, ferg_v, sel_w),
@@ -690,11 +734,11 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         pl = pl._replace(
             is_final=sc2(pl.is_final, final_ok, jnp.where(no_cross, top_idx, DROP))
         )
-        tot_prob = c.tot_prob + jnp.sum(
+        tot_prob = row(c.tot_prob) + jnp.sum(
             jnp.where(no_cross | rare_fail, w_node, 0.0), axis=1)
-        count_main = c.count_main + jnp.sum(no_cross, axis=1).astype(jnp.int32)
+        count_main = row(c.count_main) + jnp.sum(no_cross, axis=1).astype(jnp.int32)
         dw_bad = valid & ((dw_node > -0.5) | (dw_node < -2.0))
-        dw_anom = c.dw_anom + jnp.sum(dw_bad, axis=1).astype(jnp.int32)
+        dw_anom = row(c.dw_anom) + jnp.sum(dw_bad, axis=1).astype(jnp.int32)
         if mega_chain:
             # chain terminals: the last in-kernel node ended without a
             # crossing (exit3) or at a rare crossing with r >= 1 (the r == 0
@@ -741,7 +785,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         if mega_chain:
             n_child = jnp.where(chainy, r_ch + pend_child.astype(jnp.int32),
                                 n_child)
-        base = c.n_alloc[:, None] + jnp.cumsum(n_child, axis=1) - n_child
+        base = row(c.n_alloc)[:, None] + jnp.cumsum(n_child, axis=1) - n_child
         slot_a = base
         slot_b = base + 1
         write_a = spawn & (slot_a < P)
@@ -760,7 +804,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             parent_weight=sc2(pl.parent_weight, w_node, sa),
             prob_conv=sc2(pl.prob_conv, pcx, sa),
             prob_conv0=sc2(pl.prob_conv0, a_prob_conv0, sa),
-            status=sc2(pl.status, jnp.ones((E, K), jnp.int32), sa),
+            status=sc2(pl.status, jnp.ones((Ew, K), jnp.int32), sa),
         )
 
         # child B (full-tree mode only): the surviving parent species
@@ -775,7 +819,7 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             parent_weight=sc2(pl.parent_weight, w_node, sb),
             prob_conv=sc2(pl.prob_conv, pcx, sb),
             prob_conv0=sc2(pl.prob_conv0, prob_conv_parent, sb),
-            status=sc2(pl.status, jnp.ones((E, K), jnp.int32), sb),
+            status=sc2(pl.status, jnp.ones((Ew, K), jnp.int32), sb),
         )
         n_alloc_add = write_a.astype(jnp.int32) + write_b.astype(jnp.int32)
 
@@ -862,15 +906,15 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
                 n_alloc_add = n_alloc_add + wr.astype(jnp.int32)
                 sp = jnp.where(chainy, sp_child, sp)
 
-        n_alloc = c.n_alloc + jnp.sum(n_alloc_add, axis=1).astype(jnp.int32)
+        n_alloc = row(c.n_alloc) + jnp.sum(n_alloc_add, axis=1).astype(jnp.int32)
 
-        count = c.count + jnp.sum(valid, axis=1).astype(jnp.int32)
+        count = count_w + jnp.sum(valid, axis=1).astype(jnp.int32)
         if mega_chain:
             count = count + jnp.sum(r_ch, axis=1).astype(jnp.int32)
 
         # --- cutoffs (MainRunner.jl:324-339), checked once per iteration ---
-        info = c.info
-        done = c.done
+        info = row(c.info)
+        done = done_w
         hit2 = active & (tot_prob >= 1.0 - tcfg.prob_cutoff)
         info = jnp.where(hit2 & ~done, 2, info)
         done = done | hit2
@@ -881,13 +925,46 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         info = jnp.where(hit4 & ~done, 4, info)
         done = done | hit4
         done = done | ~has_pending
+        done_it_w = row(c.done_it)
+        done_it = jnp.where(done & (done_it_w == 0), c.it + 1, done_it_w)
 
-        return Carry(pools=pl, tot_prob=tot_prob, count=count,
-                     count_main=count_main, info=info, done=done,
-                     n_alloc=n_alloc, dw_anom=dw_anom, it=c.it + 1)
+        # --- window refill (streaming only): a finished event's lane takes
+        # the next unstarted event (its pools row is already seeded), so the
+        # window stays at full occupancy until the batch is exhausted ---
+        aw_next, cursor_next = aw, c.cursor
+        if streaming:
+            freed = done
+            rank = jnp.cumsum(freed.astype(jnp.int32)) - freed.astype(jnp.int32)
+            navail = E - c.cursor
+            take = freed & (rank < navail)
+            aw_next = jnp.where(take, c.cursor + rank, aw).astype(jnp.int32)
+            cursor_next = (c.cursor + jnp.minimum(
+                jnp.sum(freed.astype(jnp.int32)), navail)).astype(jnp.int32)
 
-    def cond(c: Carry):
-        return jnp.any(~c.done) & (c.it <= tcfg.max_nodes + 1)
+        return Carry(pools=pl,
+                     tot_prob=put(c.tot_prob, tot_prob),
+                     count=put(c.count, count),
+                     count_main=put(c.count_main, count_main),
+                     info=put(c.info, info),
+                     done=put(c.done, done),
+                     n_alloc=put(c.n_alloc, n_alloc),
+                     dw_anom=put(c.dw_anom, dw_anom),
+                     it=c.it + 1,
+                     done_it=put(c.done_it, done_it),
+                     aw=aw_next, cursor=cursor_next)
+
+    if streaming:
+        # greedy-scheduling makespan bound: Ew window lanes, E jobs, each
+        # job occupies its lane for <= max_nodes + 2 iterations (every
+        # active window event processes >= 1 node per iteration)
+        it_cap = (E // Ew + 2) * (tcfg.max_nodes + 2)
+
+        def cond(c: Carry):
+            return ((jnp.any(~c.done[c.aw]) | (c.cursor < E))
+                    & (c.it <= it_cap))
+    else:
+        def cond(c: Carry):
+            return jnp.any(~c.done) & (c.it <= tcfg.max_nodes + 1)
 
     out = lax.while_loop(cond, body, carry0)
 
@@ -895,7 +972,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     return TreeResult(pools=out.pools, count=out.count, count_main=out.count_main,
                       info=info, tot_prob=out.tot_prob, n_alloc=out.n_alloc,
                       dw_anomalies=out.dw_anom,
-                      n_iters=jnp.broadcast_to(out.it, (E,)))
+                      n_iters=jnp.broadcast_to(out.it, (E,)),
+                      done_it=jnp.where(out.done_it > 0, out.done_it, out.it))
 
 
 def max_finals(tcfg: TreeConfig) -> int:

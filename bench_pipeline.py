@@ -14,7 +14,10 @@ estimate documented in bench.py, i.e. ~0.3 s/event.  No published reference
 numbers exist (BASELINE.md).
 
 Environment knobs: BENCH_EVENTS (default 4096), BENCH_EVENT_BATCH (default
-1024), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
+2048 on TPU / 512 on CPU), BENCH_TREE_WINDOW (default: driver auto — 512
+when the batch is bigger; the streaming window refills finished events'
+lanes from the batch, measured 1.77x on the deep forward tree vs per-batch
+draining), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
 (default: megakernel + f32 physics on TPU, pool + f64 on CPU), BENCH_DEEP=1
 (run at the reference's production cutoffs — probCutoff 1e-10, numCutoff 50,
 MCNodes 10, maxNodes 100, runner_example.sh:4 — instead of the defaults).
@@ -40,10 +43,12 @@ def main():
     from adiabatic_raytracer_tpu.driver import run
 
     n_events = int(os.environ.get("BENCH_EVENTS", "4096"))
-    event_batch = int(os.environ.get("BENCH_EVENT_BATCH", "1024"))
-    seed = int(os.environ.get("BENCH_SEED", "1769"))
-
     platform = jax.devices()[0].platform
+    event_batch = int(os.environ.get(
+        "BENCH_EVENT_BATCH", "2048" if platform != "cpu" else "512"))
+    tree_window = int(os.environ.get(
+        "BENCH_TREE_WINDOW", "512" if event_batch > 512 else "0"))
+    seed = int(os.environ.get("BENCH_SEED", "1769"))
     compute_dtype = os.environ.get(
         "BENCH_COMPUTE_DTYPE", "state" if platform == "cpu" else "f32")
     engine = os.environ.get(
@@ -57,7 +62,8 @@ def main():
                          mc_chain_gate=int(os.environ.get("BENCH_CHAIN_GATE", "4")),
                          in_kernel_prob=int(os.environ.get("BENCH_IKP", "1")),
                          tree_k=int(os.environ.get("BENCH_TREE_K", "0")),
-                         tree_queue_width=int(os.environ.get("BENCH_TREE_W", "0")))
+                         tree_queue_width=int(os.environ.get("BENCH_TREE_W", "0")),
+                         tree_window=tree_window)
     deep = os.environ.get("BENCH_DEEP", "") == "1"
     if deep:  # the reference's production scale (runner_example.sh:4)
         tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=50, mc_nodes=10,
@@ -92,6 +98,7 @@ def main():
         "vs_baseline": round(events_per_sec / JULIA_CPU_EVENTS_PER_SEC, 2),
         "events": n_events,
         "event_batch": event_batch,
+        "tree_window": tree_window,
         "finals": int(stats.finals),
         "nodes": int(stats.tot_nodes),
         "tree_iters": int(stats.tree_iters),

@@ -168,6 +168,29 @@ def test_mc_estimator_unbiased_vs_full_tree():
     assert diff < max(4.0 * se, 1e-12), (diff, se, w_full, float(np.mean(w_mc)))
 
 
+def test_streaming_window_matches_batch():
+    """The streaming active-window engine (cfg.tree_window < E: finished
+    events' window lanes refill from unstarted events) must produce BITWISE
+    identical per-event results to the unwindowed engine — MC draws are
+    keyed by (event key, node index) and slot allocation is per event, so
+    only the iteration schedule may differ (n_iters/done_it excluded)."""
+    x, k_init, erg = _events(6)
+    tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=3, mc_nodes=2, max_nodes=8)
+    cfg_b = NumericsConfig(interp_points=8, max_crossings=8)
+    cfg_s = NumericsConfig(interp_points=8, max_crossings=8, tree_window=2)
+    outs = [tree.forward_tree(jax.random.PRNGKey(9), x, k_init, erg, SC, c,
+                              tcfg, lnt_end=0.0) for c in (cfg_b, cfg_s)]
+    skip = {"n_iters", "done_it"}
+    for name in type(outs[0])._fields:
+        if name in skip:
+            continue
+        a, b = getattr(outs[0], name), getattr(outs[1], name)
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+
+
 def test_prob_compaction_matches_full():
     """Forcing tiny tree_prob_width exercises both the compacted
     conversion-probability path and its overflow fallback; results must be
