@@ -139,11 +139,14 @@ def main(argv=None) -> int:
         # 1-core host's trace time
         args.event_batch = 16 if jax.devices()[0].platform == "cpu" else 2048
     if args.tree_window < 0:
-        # auto: window the forward tree at 512 active events whenever the
-        # batch is bigger (measured 1.77x on the deep-cutoff forward tree:
-        # finished events' window lanes refill immediately instead of the
-        # batch draining at ~1-event occupancy; NumericsConfig.tree_window)
-        args.tree_window = 512 if args.event_batch > 512 else 0
+        # auto: window the forward tree at 128 active events whenever the
+        # batch is bigger (finished events' window lanes refill immediately
+        # instead of the batch draining at ~1-event occupancy;
+        # NumericsConfig.tree_window).  v5e sweep at production cutoffs,
+        # ev/s by window: 64: 3781, 128: 4617, 256: 3540, 512: 3370,
+        # 1024: 2530, off: ~760 — per-iteration cost falls faster than the
+        # iteration count rises until the 2-tile launch floor at 128.
+        args.tree_window = 128 if args.event_batch > 128 else 0
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
                          engine=engine, tree_window=args.tree_window)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,

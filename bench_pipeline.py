@@ -14,10 +14,11 @@ estimate documented in bench.py, i.e. ~0.3 s/event.  No published reference
 numbers exist (BASELINE.md).
 
 Environment knobs: BENCH_EVENTS (default 4096), BENCH_EVENT_BATCH (default
-2048 on TPU / 512 on CPU), BENCH_TREE_WINDOW (default: driver auto — 512
+2048 on TPU / 512 on CPU), BENCH_TREE_WINDOW (default: driver auto — 128
 when the batch is bigger; the streaming window refills finished events'
-lanes from the batch, measured 1.77x on the deep forward tree vs per-batch
-draining), BENCH_SEED (default 1769), BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
+lanes from the batch instead of draining the batch at ~1-event occupancy;
+v5e deep-cutoff sweep in cli.py), BENCH_SEED (default 1769),
+BENCH_PIPE_ENGINE / BENCH_COMPUTE_DTYPE
 (default: megakernel + f32 physics on TPU, pool + f64 on CPU), BENCH_DEEP=1
 (run at the reference's production cutoffs — probCutoff 1e-10, numCutoff 50,
 MCNodes 10, maxNodes 100, runner_example.sh:4 — instead of the defaults).
@@ -47,7 +48,7 @@ def main():
     event_batch = int(os.environ.get(
         "BENCH_EVENT_BATCH", "2048" if platform != "cpu" else "512"))
     tree_window = int(os.environ.get(
-        "BENCH_TREE_WINDOW", "512" if event_batch > 512 else "0"))
+        "BENCH_TREE_WINDOW", "128" if event_batch > 128 else "0"))
     seed = int(os.environ.get("BENCH_SEED", "1769"))
     compute_dtype = os.environ.get(
         "BENCH_COMPUTE_DTYPE", "state" if platform == "cpu" else "f32")
