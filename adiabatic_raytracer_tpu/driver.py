@@ -67,8 +67,14 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
                       compute_dtype: str = "state"):
     """Launch momentum and importance weights (MainRunner.jl:498-558).
 
-    compute_dtype="f32": evaluate in f32 with f64 in/outputs (TPU path)."""
+    compute_dtype="f32": evaluate in f32 with f64 in/outputs (TPU path).
+    The physics factors (cos_w, redshift, jac_gr — all O(1)) are computed
+    in f32, but the final sln_prob product is assembled in the OUTPUT dtype:
+    its magnitude is ~1e39 (rho_dm*1e9/mass_a * maxR^2 * unit factors,
+    MainRunner.jl:552-558), beyond f32 max (3.4e38), so an all-f32 product
+    overflows to inf."""
     out_dtype = xpos.dtype
+    sc0, maxR0 = sc, maxR
     if compute_dtype == "f32":
         from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
 
@@ -98,10 +104,13 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
     dense_extra = 2.0 / jnp.sqrt(jnp.pi) * (1.0 / (220.0 / C_KM)) * jnp.sqrt(
         2.0 * sc.mass_ns * G_NEW / C_KM**2 / rmag)
     redshift = jnp.sqrt(1.0 - 2.0 * G_NEW * sc.mass_ns / rmag / C_KM**2)
-    phase_s = dense_extra * (2.0 * jnp.pi * maxR**2) * (sc.rho_dm * 1e9) / sc.mass_a * jac_gr
-    sln_prob = (jnp.abs(cos_w) * redshift * phase_s * (1e5**2) * C_KM * 1e5
-                * tcfg.n_max_sample)
-    return (k_init.astype(out_dtype), sln_prob.astype(out_dtype),
+    # assemble the ~1e39 product in the output dtype (see docstring)
+    d = out_dtype
+    phase_s = (dense_extra.astype(d) * (2.0 * jnp.pi * jnp.asarray(maxR0, d)**2)
+               * (sc0.rho_dm * 1e9) / sc0.mass_a * jac_gr.astype(d))
+    sln_prob = (jnp.abs(cos_w).astype(d) * redshift.astype(d) * phase_s
+                * (1e5**2) * C_KM * 1e5 * tcfg.n_max_sample)
+    return (k_init.astype(out_dtype), sln_prob,
             cos_w.astype(out_dtype), jac_v.astype(out_dtype))
 
 

@@ -5,6 +5,7 @@ transcendentals are f32-grade even under emulated f64) while integrating in
 f64.  The parity contract is trajectory endpoints < 1e-4 relative error
 (BASELINE.md); the mixed scheme must stay far inside that."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,3 +55,38 @@ def test_mixed_precision_endpoints():
     # statistical MC observables.
     assert np.median(rel) < 5e-5, rel
     assert np.max(rel) < 1e-3, rel
+
+
+def test_event_kinematics_f32_path_finite_and_close():
+    """The f32 kinematics path must assemble sln_prob in f64: its magnitude
+    is ~1e39 (MainRunner.jl:552-558 unit factors), beyond f32 max, so an
+    all-f32 product overflows to inf (caught on TPU by bench_overshoot's
+    sum_pps = inf; regression-pinned here on CPU)."""
+    from adiabatic_raytracer_tpu.config import TreeConfig
+    from adiabatic_raytracer_tpu.driver import _event_kinematics
+    from adiabatic_raytracer_tpu.models.magnetosphere import (
+        conversion_surface_radius)
+    from adiabatic_raytracer_tpu.ops import sampler
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    maxR = float(conversion_surface_radius(sc.mass_a, sc.theta_m,
+                                           sc.omega_pul, sc.b0, sc.r_ns))
+    res = sampler.sample_batch(jax.random.PRNGKey(2), 64, maxR, sc,
+                               sc.mass_ns,
+                               n_grid=sampler.default_n_grid(maxR,
+                                                             scan_per_step=8))
+    ok = np.asarray(res.success)
+    x = jnp.asarray(np.asarray(res.xpos)[ok])
+    v = jnp.asarray(np.asarray(res.v_loc)[ok])
+    e = jnp.asarray(np.asarray(res.erg_inf)[ok])
+    assert x.shape[0] >= 2
+    tcfg = TreeConfig()
+    k64, s64, c64, j64 = _event_kinematics(x, v, e, maxR, sc, tcfg, "state")
+    k32, s32, c32, j32 = _event_kinematics(x, v, e, maxR, sc, tcfg, "f32")
+    s32, s64 = np.asarray(s32), np.asarray(s64)
+    assert np.all(np.isfinite(s32)), s32
+    assert s64.max() > 1e38  # the column really is beyond f32 range
+    np.testing.assert_allclose(s32, s64, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c32), np.asarray(c64), rtol=1e-4,
+                               atol=1e-7)
