@@ -53,12 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dir_tag", type=str, default="results")
     p.add_argument("--event_batch", type=int, default=0,
                    help="events propagated per vmapped batch; 0 = auto "
-                        "(2048 on TPU, streamed through a 512-event tree "
+                        "(2048 on TPU, streamed through a 128-event tree "
                         "window; 16 on CPU)")
     p.add_argument("--tree_window", type=int, default=-1,
                    help="forward-tree streaming window (active events per "
                         "iteration; finished events refill from the batch); "
-                        "-1 = auto (512 when event_batch > 512 on any "
+                        "-1 = auto (128 when event_batch > 128 on any "
                         "device), 0 = off")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",

@@ -155,7 +155,7 @@ class NumericsConfig:
     # are BITWISE IDENTICAL to the unwindowed engine (MC draws are keyed by
     # (event key, node index); slot allocation is per event) — only the
     # iteration schedule changes.  0 = off (window == E, per-batch engine);
-    # driver auto on TPU pairs event_batch=2048 with tree_window=512.
+    # driver auto on TPU pairs event_batch=2048 with tree_window=128.
     tree_window: int = static_field(0)
     # Device->host transfer budget for the finals pack: the driver ships the
     # batch's final nodes as ONE globally-compacted array sized
