@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -63,18 +64,34 @@ class RunStats:
     vns: tuple = (0.0, 0.0, 0.0)
 
 
+def sln_scale(sc: Scene, maxR, tcfg: TreeConfig) -> float:
+    """Host-side scalar factor of the event weight sln_prob
+    (MainRunner.jl:552-558 unit factors): 2*pi*maxR^2 * rho_dm*1e9/mass_a
+    * (1e5)^2 * c[km/s] * 1e5 * n_max_sample, magnitude ~1e36-1e42.
+
+    This NEVER goes on device: full sln_prob exceeds f32 max (3.4e38), and
+    TPU "f64" is float-float (2x f32) emulation whose EXPONENT RANGE is
+    still f32's — any on-device value past ~3.4e38 is inf/NaN regardless of
+    the declared dtype.  _event_kinematics therefore returns the O(1e2)
+    per-event factor (sln_base); rows and spectra multiply by this scalar
+    in host f64 (driver.assemble, analysis.flux)."""
+    return (2.0 * math.pi * float(maxR) ** 2
+            * float(sc.rho_dm) * 1e9 / float(sc.mass_a)
+            * (1e5 ** 2) * C_KM * 1e5 * float(tcfg.n_max_sample))
+
+
 def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
                       compute_dtype: str = "state"):
-    """Launch momentum and importance weights (MainRunner.jl:498-558).
+    """Launch momentum and the per-event weight factor (MainRunner.jl:498-558).
 
-    compute_dtype="f32": evaluate in f32 with f64 in/outputs (TPU path).
-    The physics factors (cos_w, redshift, jac_gr — all O(1)) are computed
-    in f32, but the final sln_prob product is assembled in the OUTPUT dtype:
-    its magnitude is ~1e39 (rho_dm*1e9/mass_a * maxR^2 * unit factors,
-    MainRunner.jl:552-558), beyond f32 max (3.4e38), so an all-f32 product
-    overflows to inf."""
+    Returns (k_init, sln_base, cos_w, jac_v) where sln_base =
+    |cos_w| * redshift * dense_extra * jac_gr — the per-event, O(1e2) part
+    of the reference's sln_prob; the full weight is
+    sln_base * sln_scale(sc, maxR, tcfg), assembled in HOST f64 (the scalar
+    part is ~1e36-1e42, unrepresentable on a TPU device — see sln_scale).
+
+    compute_dtype="f32": evaluate in f32 with f64 in/outputs (TPU path)."""
     out_dtype = xpos.dtype
-    sc0, maxR0 = sc, maxR
     if compute_dtype == "f32":
         from adiabatic_raytracer_tpu.ops.propagate import _cast_tree
 
@@ -82,7 +99,6 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
         xpos = xpos.astype(jnp.float32)
         v_loc = v_loc.astype(jnp.float32)
         erg_inf = erg_inf.astype(jnp.float32)
-        maxR = jnp.float32(maxR)
     E = xpos.shape[0]
     rmag = jnp.linalg.norm(xpos, axis=1)
     k_init = k_norm_cart(xpos, v_loc, 0.0, erg_inf, sc, sc.mass_ns,
@@ -104,13 +120,10 @@ def _event_kinematics(xpos, v_loc, erg_inf, maxR, sc: Scene, tcfg: TreeConfig,
     dense_extra = 2.0 / jnp.sqrt(jnp.pi) * (1.0 / (220.0 / C_KM)) * jnp.sqrt(
         2.0 * sc.mass_ns * G_NEW / C_KM**2 / rmag)
     redshift = jnp.sqrt(1.0 - 2.0 * G_NEW * sc.mass_ns / rmag / C_KM**2)
-    # assemble the ~1e39 product in the output dtype (see docstring)
-    d = out_dtype
-    phase_s = (dense_extra.astype(d) * (2.0 * jnp.pi * jnp.asarray(maxR0, d)**2)
-               * (sc0.rho_dm * 1e9) / sc0.mass_a * jac_gr.astype(d))
-    sln_prob = (jnp.abs(cos_w).astype(d) * redshift.astype(d) * phase_s
-                * (1e5**2) * C_KM * 1e5 * tcfg.n_max_sample)
-    return (k_init.astype(out_dtype), sln_prob,
+    # per-event factor only — the ~1e36-1e42 scalar part (sln_scale) stays
+    # on the host: it is unrepresentable on TPU in ANY dtype (see sln_scale)
+    sln_base = jnp.abs(cos_w) * redshift * dense_extra * jac_gr
+    return (k_init.astype(out_dtype), sln_base.astype(out_dtype),
             cos_w.astype(out_dtype), jac_v.astype(out_dtype))
 
 
@@ -531,7 +544,12 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
             fins.append(b)
         fin = np.concatenate(fins, axis=0)
         fin = fin[fin[:, 0] < batch]        # drop mesh-padding duplicates
-        sln_np = evp[:, 0]
+        # full event weight: the device ships the O(1e2) per-event factor;
+        # the ~1e36-1e42 scalar part multiplies in host f64 (see sln_scale).
+        # The f64 cast is load-bearing: evp arrives f32 from the TPU, and
+        # NumPy-2 weak-scalar promotion keeps f32_array * python_float in
+        # f32, which overflows to inf at this magnitude.
+        sln_np = evp[:, 0].astype(np.float64) * sln_scale(sc, maxR, tcfg)
         cosw_np = evp[:, 1]
         count_np = evp[:, 2].astype(np.int64)
         info_np = evp[:, 3].astype(np.int64)

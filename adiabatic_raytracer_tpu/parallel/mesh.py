@@ -65,9 +65,13 @@ def event_pipeline_sharded(mesh: Mesh, sc: Scene, cfg: NumericsConfig,
     """Build the jitted, sharded per-batch event pipeline.
 
     Returns fn(seeds[E], xpos[E,3], v_loc[E,3], erg_inf[E]) ->
-    (k_init, sln_prob, cos_w, backtrace result, tree result,
+    (k_init, sln_base, cos_w, backtrace result, tree result,
      (photon_hist, axion_hist) psum-reduced over the mesh).
     E must be divisible by the mesh size; seeds are per-event int32.
+
+    sln_base and the histograms are in DEVICE-SAFE units: multiply by the
+    host scalar driver.sln_scale(sc, maxR, tcfg) (~1e36-1e42, beyond the
+    TPU's f32-range float-float "f64") for the reference's sln_prob / pps.
     """
     from adiabatic_raytracer_tpu.driver import _event_kinematics
 

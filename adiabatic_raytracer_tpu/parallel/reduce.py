@@ -25,6 +25,11 @@ def pulse_profile_from_pools(pools, samp_back_weight, sln_prob, nbins: int = 50)
     pps = weight * samp_back_weight * sln_prob per final particle, binned in
     the final momentum azimuth (flux.py:38-48).  Returns (photon_hist,
     axion_hist), each [nbins] over phi in [-pi, pi].
+
+    Pass the device-safe sln_base (driver._event_kinematics): full-scale
+    sln_prob (~1e39) is unrepresentable on TPU (float-float "f64" keeps the
+    f32 exponent range) — scale the returned histograms by the host scalar
+    driver.sln_scale afterwards.
     """
     final = pools.is_final & (pools.status == 2)  # [E, P]
     phi_f = jnp.arctan2(pools.fmom[..., 1], pools.fmom[..., 0])  # [E, P]

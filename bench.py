@@ -13,7 +13,8 @@ Hamiltonian evaluations/step) and typical adaptive step counts; the north-star
 target is 100x => vs_baseline = 100).
 
 Environment knobs: BENCH_RAYS (default 1024), BENCH_REPS (default 3),
-BENCH_SPAN_T (trajectory end time in s, default 0.1).
+BENCH_SPAN_T (trajectory end time in s, default 0.1), BENCH_INTERP /
+BENCH_COARSE / BENCH_GATE_THETA (event-scan density and gate overrides).
 """
 
 import json
@@ -54,6 +55,10 @@ def main():
     interp_kw = {}
     if os.environ.get("BENCH_INTERP"):
         interp_kw["interp_points"] = int(os.environ["BENCH_INTERP"])
+    if os.environ.get("BENCH_COARSE"):
+        interp_kw["interp_coarse"] = int(os.environ["BENCH_COARSE"])
+    if os.environ.get("BENCH_GATE_THETA"):
+        interp_kw["scan_gate_theta"] = float(os.environ["BENCH_GATE_THETA"])
     cfg = NumericsConfig(rtol=1e-7, atol=1e-6, compute_dtype=compute_dtype,
                          **interp_kw)
 

@@ -104,6 +104,14 @@ def main():
         configs[str(k)] = dataclasses.replace(base, interp_points=k)
     configs["50plain"] = dataclasses.replace(base, interp_points=50,
                                              interp_coarse=0)
+    # CENSUS_GATES="coarse:theta,..." adds gated-50 variants, e.g. "4:0.15"
+    # runs the 50-point scan behind a 4-point coarse pass gated at
+    # scan_gate_theta=0.15 — for sweeping the gate's (cost, safety) frontier.
+    for spec in filter(None, os.environ.get("CENSUS_GATES", "").split(",")):
+        kc, th = spec.split(":")
+        configs[f"50c{kc}t{th}"] = dataclasses.replace(
+            base, interp_points=50, interp_coarse=int(kc),
+            scan_gate_theta=float(th))
 
     results = {}
     walls = {}
@@ -142,6 +150,8 @@ def main():
             "config": name,
             "interp_points": cfg.interp_points,
             "gated": bool(gated),
+            "interp_coarse": cfg.interp_coarse if gated else 0,
+            "scan_gate_theta": float(cfg.scan_gate_theta) if gated else None,
             "events": int(n),
             "total_crossings": int(nc.sum()),
             "n_cross_hist": hist,

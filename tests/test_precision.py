@@ -57,13 +57,16 @@ def test_mixed_precision_endpoints():
     assert np.max(rel) < 1e-3, rel
 
 
-def test_event_kinematics_f32_path_finite_and_close():
-    """The f32 kinematics path must assemble sln_prob in f64: its magnitude
-    is ~1e39 (MainRunner.jl:552-558 unit factors), beyond f32 max, so an
-    all-f32 product overflows to inf (caught on TPU by bench_overshoot's
-    sum_pps = inf; regression-pinned here on CPU)."""
+def test_event_kinematics_device_value_is_range_safe():
+    """The event weight sln_prob is ~1e39-1e42 (MainRunner.jl:552-558 unit
+    factors) — beyond f32 max AND beyond what a TPU can hold in ANY dtype
+    (its "f64" is float-float emulation with the f32 exponent range; an
+    on-device assembly produced inf in f32 and NaN in emulated f64,
+    caught by bench_overshoot's sum_pps on the real chip).  Contract:
+    the DEVICE side returns an O(1e2) per-event factor (sln_base), and the
+    scalar rest (driver.sln_scale) multiplies in host f64."""
     from adiabatic_raytracer_tpu.config import TreeConfig
-    from adiabatic_raytracer_tpu.driver import _event_kinematics
+    from adiabatic_raytracer_tpu.driver import _event_kinematics, sln_scale
     from adiabatic_raytracer_tpu.models.magnetosphere import (
         conversion_surface_radius)
     from adiabatic_raytracer_tpu.ops import sampler
@@ -85,8 +88,24 @@ def test_event_kinematics_f32_path_finite_and_close():
     k64, s64, c64, j64 = _event_kinematics(x, v, e, maxR, sc, tcfg, "state")
     k32, s32, c32, j32 = _event_kinematics(x, v, e, maxR, sc, tcfg, "f32")
     s32, s64 = np.asarray(s32), np.asarray(s64)
-    assert np.all(np.isfinite(s32)), s32
-    assert s64.max() > 1e38  # the column really is beyond f32 range
+    scale = sln_scale(sc, maxR, tcfg)
+    # device values stay far inside f32 range on BOTH paths (TPU-safe) ...
+    f32max = float(np.finfo(np.float32).max)
+    for s in (s32, s64):
+        assert np.all(np.isfinite(s)), s
+        assert np.abs(s).max() < 1e-4 * f32max, s
+    # ... while the assembled host weight really needs f64 range
+    full = s64 * scale
+    assert np.all(np.isfinite(full))
+    assert full.max() > 1e38
+    # the TPU ships the pack as f32; NumPy-2 weak-scalar promotion keeps
+    # f32_array * python_float in f32 (-> inf at this magnitude), so the
+    # driver MUST .astype(f64) before applying sln_scale (driver.py assemble)
+    fetched = s32.astype(np.float32)         # what np.asarray(ev_pack) yields
+    assert not np.all(np.isfinite(fetched * scale))      # the f32 trap
+    host = fetched.astype(np.float64) * scale            # the driver's expr
+    assert np.all(np.isfinite(host))
+    np.testing.assert_allclose(host, full, rtol=2e-5)
     np.testing.assert_allclose(s32, s64, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(c32), np.asarray(c64), rtol=1e-4,
                                atol=1e-7)
