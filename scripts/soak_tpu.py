@@ -54,12 +54,23 @@ def main():
         "--seed", "202", "--ftag", "soak_1", "--checkpoint"]
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT)
-    time.sleep(max(20.0, 0.4 * t_shard0))
+    # kill only once the first checkpoint lands: each CLI run is a fresh
+    # process paying the full ~2-4 min server-side TPU compile before its
+    # first batch assembles, so a fixed fraction of t_shard0 can fire too
+    # early (measured: it did)
+    ckdir = os.path.join(DIR, "npy")
+    ck = []
+    deadline = time.time() + max(120.0, 2.0 * t_shard0)
+    while time.time() < deadline and proc.poll() is None:
+        ck = [f for f in os.listdir(ckdir) if f.startswith(".ckpt_")
+              and f.endswith("soak_1.npy.json")]
+        if ck:
+            break
+        time.sleep(2.0)
+    assert ck, "no checkpoint written before the kill deadline"
+    assert proc.poll() is None, "shard 1 finished before it could be killed"
     proc.send_signal(signal.SIGKILL)
     proc.wait()
-    ck = [f for f in os.listdir(os.path.join(DIR, "npy"))
-          if f.startswith(".ckpt_") and f.endswith(".json")]
-    assert ck, "no checkpoint written before the kill"
     cli("--seed", "202", "--ftag", "soak_1", "--checkpoint", "--resume")
 
     # combine the two shards (Julia semantics: col 8 / n_runs, shards deleted)

@@ -102,7 +102,8 @@ def test_event_kinematics_device_value_is_range_safe():
     # f32_array * python_float in f32 (-> inf at this magnitude), so the
     # driver MUST .astype(f64) before applying sln_scale (driver.py assemble)
     fetched = s32.astype(np.float32)         # what np.asarray(ev_pack) yields
-    assert not np.all(np.isfinite(fetched * scale))      # the f32 trap
+    with np.errstate(over="ignore"):
+        assert not np.all(np.isfinite(fetched * scale))  # the f32 trap
     host = fetched.astype(np.float64) * scale            # the driver's expr
     assert np.all(np.isfinite(host))
     np.testing.assert_allclose(host, full, rtol=2e-5)
