@@ -111,7 +111,11 @@ class NumericsConfig:
     # O(0.5) away from the conversion surface — so a dip flags a possible
     # tangent pair between coarse points).  Census-validated against the
     # plain 50-point scan; 0 or >= interp_points disables the gate.
-    interp_coarse: int = static_field(8)
+    # Defaults measured on 65k production backtraces (bench_census.py):
+    # coarse 4 @ theta 0.08 is census-identical to plain-50 and stays clean
+    # up to theta 0.16 (2x trigger margin); coarse 2 and 3 at theta 0.08
+    # each MISS 2 crossings — 4 is the safety boundary with margin.
+    interp_coarse: int = static_field(4)
     scan_gate_theta: Any = 0.08
     bisect_iters: int = static_field(60)    # event root refinement iterations
     max_roots_per_step: int = static_field(3)
