@@ -165,6 +165,7 @@ class SceneConsts:
         self.min_fac = float(cfg.min_dt_factor)
         self.max_fac = float(cfg.max_dt_factor)
         self.max_steps = int(cfg.max_steps)
+        self.it_cap = int(cfg.max_steps)  # per-LAUNCH cap (chunked resume)
         self.interp = int(cfg.interp_points)
         self.interp_coarse = int(cfg.interp_coarse)
         self.gate_theta = float(cfg.scan_gate_theta)
@@ -522,47 +523,74 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     """
     n_slots = max_crossings
     u = tuple(uin_ref[:, i, :] for i in range(7))
-    u_lo = tuple(jnp.zeros_like(u[0]) for _ in range(7))
+    u_lo = tuple(uin_ref[:, 8 + i, :] for i in range(7))
     lnt = aux_ref[:, 0, :]
-    lnt_lo = jnp.zeros_like(lnt)
+    lnt_lo = aux_ref[:, 8, :]
     lnt1 = aux_ref[:, 1, :]
     erg = aux_ref[:, 2, :]
     x0c = tuple(aux_ref[:, 3 + i, :] for i in range(3))
     is_ph0 = aux_ref[:, 6, :]
     chain_cap = aux_ref[:, 7, :] if with_chain else None
-    lnt_mid = 0.5 * (lnt + lnt1)
+    # resume rows (all-zero on a fresh launch; see integrate_mega's resume
+    # kwarg): carried dt, absolute step/crossing counters, the ORIGINAL
+    # trajectory's save-grid midpoint, and an explicit done flag
+    dt_in = aux_ref[:, 9, :]
+    steps0 = aux_ref[:, 10, :]
+    ncross0 = aux_ref[:, 11, :]
+    lnt_mid = aux_ref[:, 12, :]
+    done0 = aux_ref[:, 13, :]
+
+    # Tile-level skip for the chunked-compaction wrapper: when EVERY lane in
+    # the tile carries the explicit done flag (only integrate_mega_chunked
+    # sets it; all other callers pass zeros) the tile's outputs are never
+    # read back — skip init, loop, and finalize entirely and leave the
+    # output blocks unwritten (the wrapper masks them out).
+    tile_run = jnp.min(done0) < 0.5
 
     is_ph = is_ph0
-    f0 = _rhs(C, u, lnt, erg, is_ph)
-    g0 = _condition(C, u, lnt)
 
-    # initial dt (Hairer-lite, cf. integrator._initial_dt)
-    def nrm(vs, us):
-        acc = 0.0
-        for v, uu in zip(vs, us):
-            sc_ = C.atol + C.rtol * jnp.abs(uu)
-            acc = acc + (v / sc_) ** 2
-        return jnp.sqrt(acc / 7.0)
+    def _init(_):
+        f0 = _rhs(C, u, lnt, erg, is_ph)
+        g0 = _condition(C, u, lnt)
 
-    d0 = nrm(u, u)
-    d1 = nrm(f0, u)
-    dt = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
-    dt = jnp.minimum(dt, 0.1 * jnp.maximum(lnt1 - lnt, 1e-30))
+        # initial dt (Hairer-lite, cf. integrator._initial_dt)
+        def nrm(vs, us):
+            acc = 0.0
+            for v, uu in zip(vs, us):
+                sc_ = C.atol + C.rtol * jnp.abs(uu)
+                acc = acc + (v / sc_) ** 2
+            return jnp.sqrt(acc / 7.0)
+
+        d0 = nrm(u, u)
+        d1 = nrm(f0, u)
+        dt = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+        dt = jnp.minimum(dt, 0.1 * jnp.maximum(lnt1 - lnt, 1e-30))
+        # resumed lanes carry their controller dt across the launch boundary
+        return f0, g0, jnp.where(dt_in > 0, dt_in, dt)
+
+    def _skip_init(_):
+        z = jnp.zeros_like(lnt)
+        return tuple(z for _ in range(7)), z, z
+
+    f0, g0, dt = lax.cond(tile_run, _init, _skip_init, 0)
 
     # carried masks are f32 (Mosaic cannot yield i1 vectors from scf.while)
-    done = jnp.where(lnt1 <= lnt, 1.0, 0.0)
-    steps = jnp.zeros_like(lnt)
-    n_cross = jnp.zeros_like(lnt)
+    done = jnp.where((lnt1 <= lnt) | (done0 > 0.5), 1.0, 0.0)
+    steps = steps0
+    n_cross = ncross0
     # crossing records live in the OUTPUT REFS (VMEM), written in place at
     # record time — carrying n_slots x 9 vectors through the scf.while blew
     # vector-register pressure into spills at n_slots >= 8 (the chain/
     # backtrace configurations)
     zrow = jnp.zeros_like(lnt)
-    for slot in range(n_slots):
-        for i in range(8):
-            cross_ref[:, 8 * slot + i, :] = zrow
-        pcx_ref[:, slot, :] = zrow
-    diag_ref[:, 6, :] = zrow  # fine-scan (gated) step counter, bumped in-loop
+
+    @pl.when(tile_run)
+    def _zero_records():
+        for slot in range(n_slots):
+            for i in range(8):
+                cross_ref[:, 8 * slot + i, :] = zrow
+            pcx_ref[:, slot, :] = zrow
+        diag_ref[:, 6, :] = zrow  # fine-scan (gated) step counter, bumped in-loop
     save_mid = tuple(jnp.zeros_like(lnt) for _ in range(7))
     code = jnp.zeros_like(lnt)  # 1=end 2=ns 3=cross 4=maxed 5=stalled
     lnt_ck = lnt
@@ -577,7 +605,7 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     def cond_fn(carry):
         done_f = carry[0]
         it = carry[-1]
-        return jnp.logical_and(jnp.min(done_f) < 0.5, it < C.max_steps)
+        return jnp.logical_and(jnp.min(done_f) < 0.5, it < C.it_cap)
 
     is_ph_const = is_ph
     x0c_const = (x0c[0], x0c[1], x0c[2])
@@ -939,29 +967,39 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         is_ph = is_ph_const
         nodes_used = jnp.zeros_like(lnt)
 
-    for i in range(7):
-        uout_ref[:, i, :] = u[i] + u_lo[i]
-    uout_ref[:, 7, :] = jnp.zeros_like(u[0])
-    lnt_ref[:, 0, :] = lnt
-    lnt_ref[:, 1, :] = lnt_lo
-    diag_ref[:, 0, :] = steps
-    diag_ref[:, 1, :] = code
-    diag_ref[:, 2, :] = n_cross
-    diag_ref[:, 3, :] = g0
-    diag_ref[:, 4, :] = nodes_used
-    diag_ref[:, 5, :] = is_ph
-    # diag[6] = fine-scan step count (written in-loop); diag[7] spare
-    diag_ref[:, 7, :] = jnp.zeros_like(steps)
-    # cross_ref / pcx_ref were written in place at record time
-    for i in range(7):
-        save_ref[:, i, :] = save_mid[i]
-    save_ref[:, 7, :] = jnp.zeros_like(u[0])
+    @pl.when(tile_run)
+    def _finalize():
+        zc = jnp.zeros_like(u[0])
+        for i in range(7):
+            # hi and lo words separately (rows 8-14 feed the chunked resume)
+            uout_ref[:, i, :] = u[i]
+            uout_ref[:, 8 + i, :] = u_lo[i]
+        uout_ref[:, 7, :] = zc
+        uout_ref[:, 15, :] = zc
+        lnt_ref[:, 0, :] = lnt
+        lnt_ref[:, 1, :] = lnt_lo
+        diag_ref[:, 0, :] = steps
+        diag_ref[:, 1, :] = code
+        diag_ref[:, 2, :] = n_cross
+        diag_ref[:, 3, :] = g0
+        diag_ref[:, 4, :] = nodes_used
+        diag_ref[:, 5, :] = is_ph
+        # diag[6] = fine-scan step count (written in-loop)
+        diag_ref[:, 7, :] = dt           # controller dt (chunked resume)
+        diag_ref[:, 8, :] = done_f       # done flag (chunked resume)
+        for i in range(9, 16):
+            diag_ref[:, i, :] = zc
+        # cross_ref / pcx_ref were written in place at record time
+        for i in range(7):
+            save_ref[:, i, :] = save_mid[i]
+        save_ref[:, 7, :] = zc
 
 
 def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
                    *, max_crossings: int = 1, tile_rows: int = 1,
                    is_photon=None, species: str = "photon",
-                   with_prob: bool = False, chain_cap=None, uniforms=None):
+                   with_prob: bool = False, chain_cap=None, uniforms=None,
+                   it_cap=None, resume=None, return_resume: bool = False):
     """Run the megakernel over a [B, 7] state batch (B a multiple of
     128*tile_rows).  Returns (u_final [B,7], lnt_final [B], steps [B],
     code [B], n_cross [B], cross_u [B, n_slots, 7], cross_lnt [B, n_slots],
@@ -970,7 +1008,14 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     species: 'photon' | 'axion' | 'mixed' (static).  with_prob: evaluate the
     conversion probability in-kernel at each recorded crossing (requires
     SceneConsts.can_prob).  chain_cap [B] (f32; 0 = off) + uniforms
-    [B, max_crossings] enable the in-kernel MC chain (implies with_prob)."""
+    [B, max_crossings] enable the in-kernel MC chain (implies with_prob).
+
+    it_cap / resume / return_resume serve integrate_mega_chunked: it_cap
+    bounds the PER-LAUNCH iteration count (codes still key off the absolute
+    step counter); resume is the dict a previous return_resume=True call
+    produced (float-float low words, controller dt, absolute step/crossing
+    counters, the original save-grid midpoint, per-lane done flags); chain
+    mode cannot be resumed (the segment-start point x0c is not carried)."""
     B = u0.shape[0]
     L = 128
     assert B % (L * tile_rows) == 0, B
@@ -978,6 +1023,8 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     f32 = jnp.float32
     n_slots = max_crossings
     with_chain = chain_cap is not None
+    assert not (with_chain and resume is not None), \
+        "in-kernel chains cannot resume across launches"
 
     def to_rl(x):
         return x.astype(f32).reshape(R, L)
@@ -986,13 +1033,23 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
         is_ph = jnp.ones(B)
     else:
         is_ph = jnp.where(is_photon, 1.0, 0.0)
-    uin = jnp.stack([to_rl(u0[:, i]) for i in range(7)]
-                    + [jnp.zeros((R, L), f32)], axis=1)          # [R, 8, L]
+    zero = jnp.zeros((R, L), f32)
+    if resume is None:
+        u_lo_rows = [zero] * 7
+        res_rows = [zero, zero, zero, zero,
+                    to_rl(0.5 * (lnt0 + lnt1)), zero]
+    else:
+        u_lo_rows = [to_rl(resume["u_lo"][:, i]) for i in range(7)]
+        res_rows = [to_rl(resume["lnt_lo"]), to_rl(resume["dt"]),
+                    to_rl(resume["steps"]), to_rl(resume["n_cross"]),
+                    to_rl(resume["lnt_mid"]), to_rl(resume["done"])]
+    uin = jnp.stack([to_rl(u0[:, i]) for i in range(7)] + [zero]
+                    + u_lo_rows + [zero], axis=1)                # [R, 16, L]
     aux = jnp.stack([to_rl(lnt0), to_rl(lnt1), to_rl(erg),
                      to_rl(x0_cart[:, 0]), to_rl(x0_cart[:, 1]),
                      to_rl(x0_cart[:, 2]), to_rl(is_ph),
-                     to_rl(chain_cap) if with_chain
-                     else jnp.zeros((R, L), f32)], axis=1)       # [R, 8, L]
+                     to_rl(chain_cap) if with_chain else zero]
+                    + res_rows + [zero, zero], axis=1)           # [R, 16, L]
     if with_chain:
         uni = jnp.stack([to_rl(uniforms[:, s]) for s in range(n_slots)],
                         axis=1)                                  # [R, S, L]
@@ -1001,6 +1058,8 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
 
     C = SceneConsts(sc, cfg)
     C.species = species
+    if it_cap is not None:
+        C.it_cap = int(it_cap)
     if not C.can_prob:
         with_prob = False
         with_chain = False
@@ -1014,19 +1073,21 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
         uout, lntout, diag, cross, save, pcx = pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, 16, L), f32),
                 jax.ShapeDtypeStruct((R, 2, L), f32),
-                jax.ShapeDtypeStruct((R, 8, L), f32),
+                jax.ShapeDtypeStruct((R, 16, L), f32),
                 jax.ShapeDtypeStruct((R, 8 * n_slots, L), f32),
                 jax.ShapeDtypeStruct((R, 8, L), f32),
                 jax.ShapeDtypeStruct((R, n_slots, L), f32),
             ),
             grid=grid,
-            in_specs=[bs(8), bs(8), bs(n_slots)],
-            out_specs=(bs(8), bs(2), bs(8), bs(8 * n_slots), bs(8),
+            in_specs=[bs(16), bs(16), bs(n_slots)],
+            out_specs=(bs(16), bs(2), bs(16), bs(8 * n_slots), bs(8),
                        bs(n_slots)),
         )(uin, aux, uni)
-    uf = jnp.stack([uout[:, i, :].reshape(B) for i in range(7)], axis=1)
+    # hi + lo: the same f32 add the kernel's finalize used to do in-core
+    uf = jnp.stack([(uout[:, i, :] + uout[:, 8 + i, :]).reshape(B)
+                    for i in range(7)], axis=1)
     lntf = (lntout[:, 0, :] + lntout[:, 1, :]).reshape(B)
     dg = lambda i: diag[:, i, :].reshape(B)
     cru = jnp.stack([
@@ -1038,8 +1099,165 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     save_mid = jnp.stack([save[:, i, :].reshape(B) for i in range(7)], axis=1)
     pcx_out = jnp.stack([pcx[:, slot, :].reshape(B)
                          for slot in range(n_slots)], axis=1)     # [B, n_slots]
-    return (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid, pcx_out,
-            dg(4), dg(5), dg(6))
+    ret = (uf, lntf, dg(0), dg(1), dg(2), cru, crlnt, save_mid, pcx_out,
+           dg(4), dg(5), dg(6))
+    if return_resume:
+        ret = ret + (dict(
+            u_hi=jnp.stack([uout[:, i, :].reshape(B) for i in range(7)],
+                           axis=1),
+            u_lo=jnp.stack([uout[:, 8 + i, :].reshape(B) for i in range(7)],
+                           axis=1),
+            lnt_hi=lntout[:, 0, :].reshape(B),
+            lnt_lo=lntout[:, 1, :].reshape(B),
+            dt=dg(7), done=dg(8)),)
+    return ret
+
+
+def integrate_mega_chunked(u0, lnt0, lnt1, erg, x0_cart, sc: Scene,
+                           cfg: NumericsConfig, *, chunk_iters: int = 64,
+                           max_crossings: int = 1, tile_rows: int = 1,
+                           is_photon=None, species: str = "photon",
+                           with_prob: bool = False, stage_shrink: int = 4,
+                           stage_floor: int = 2048,
+                           stage_chunk_growth: int = 4):
+    """Chunked megakernel with staged on-device straggler compaction.
+
+    Per-ray step counts are heavy-tailed (p50 ~ 87, p99.9 ~ 1.9k at the
+    headline configuration), and a 128-lane tile runs until its SLOWEST lane
+    finishes — measured lockstep efficiency ~9.5% for a single launch over
+    65k production rays.  This wrapper relaunches the kernel in
+    chunk_iters-iteration slices and compacts survivors into geometrically
+    shrinking buffers (a "pyramid"): each stage holds a static-size buffer,
+    relaunches (no data movement between launches; all-done tiles skip via
+    the kernel's tile_run gate) until the active count drops to the next
+    stage's size, flushes results to pool-order output buffers, then sorts
+    actives-first and slices.  Sorting/gathering only at the ~log(B) stage
+    boundaries matters: a per-launch argsort+gather of a 65k-row carry costs
+    ~10 ms on a v5e — at ~31 launches that overhead capped the every-launch
+    variant at ~1.9x, while the pyramid models at ~6x (scripts/
+    probe_chunked_tpu.py).  Everything stays on-device — no host syncs.
+
+    Results match a single launch up to controller noise at launch
+    boundaries: dt, float-float hi/lo state, and the absolute step/crossing
+    counters are carried exactly, but f0/g0 are recomputed from the
+    committed hi word (a ~1-ulp perturbation of the carried values), and
+    the stall detector's progress reference resets each launch (stall cuts
+    can only fire later than single-launch).  Measured against the f64 pool
+    oracle the endpoint-error distribution is unchanged (median/p90
+    identical to the single launch).  Same return tuple as integrate_mega.
+    Chain mode is not supported (segment-start state is not carried across
+    launches)."""
+    B = u0.shape[0]
+    S = max_crossings
+    f32 = jnp.float32
+    if is_photon is None:
+        is_ph0 = jnp.ones(B, f32)
+    else:
+        is_ph0 = jnp.where(is_photon, 1.0, 0.0).astype(f32)
+    lnt0f = lnt0.astype(f32)
+    lnt1f = lnt1.astype(f32)
+    st = dict(
+        idx=jnp.arange(B, dtype=jnp.int32),
+        u=u0.astype(f32), u_lo=jnp.zeros((B, 7), f32),
+        lnt=lnt0f, lnt_lo=jnp.zeros(B, f32),
+        lnt1=lnt1f, erg=erg.astype(f32), x0=x0_cart.astype(f32),
+        is_ph=is_ph0, dt=jnp.zeros(B, f32), steps=jnp.zeros(B, f32),
+        ncr=jnp.zeros(B, f32),
+        done=jnp.where(lnt1f <= lnt0f, 1.0, 0.0).astype(f32),
+        code=jnp.zeros(B, f32),
+        lnt_mid=(0.5 * (lnt0f + lnt1f)).astype(f32),
+        cru=jnp.zeros((B, S, 7), f32), crlnt=jnp.zeros((B, S), f32),
+        pcx=jnp.zeros((B, S), f32), save=jnp.zeros((B, 7), f32),
+        nfine=jnp.zeros(B, f32),
+    )
+    # pool-order accumulators, filled by the stage flushes
+    acc = {k: jnp.zeros_like(v) for k, v in st.items() if k != "idx"}
+
+    def launch(st, it_cap=None):
+        """One bounded launch + in-place merge (no sorting)."""
+        act = st["done"] < 0.5
+        resume = dict(u_lo=st["u_lo"], lnt_lo=st["lnt_lo"], dt=st["dt"],
+                      steps=st["steps"], n_cross=st["ncr"],
+                      lnt_mid=st["lnt_mid"], done=st["done"])
+        (_uf, _lntf, n_steps, code, ncr, cru, crlnt, save_mid, pcx,
+         _nodes, _isph, nfine, res) = integrate_mega(
+            st["u"], st["lnt"], st["lnt1"], st["erg"], st["x0"], sc, cfg,
+            max_crossings=S, tile_rows=tile_rows,
+            is_photon=st["is_ph"] > 0.5, species=species,
+            with_prob=with_prob,
+            it_cap=chunk_iters if it_cap is None else it_cap,
+            resume=resume, return_resume=True)
+        # merge: skipped tiles' outputs are unwritten garbage, and done
+        # lanes inside running tiles echo their inputs — mask on pre-launch
+        # activity either way
+        m1 = lambda new, old: jnp.where(act, new, old)
+        m2 = lambda new, old: jnp.where(act[:, None], new, old)
+        # crossing slots recorded THIS launch: ncr_in <= slot < ncr_out
+        slots = jnp.arange(S, dtype=f32)[None, :]
+        took = (act[:, None] & (slots > st["ncr"][:, None] - 0.5)
+                & (slots < ncr[:, None] - 0.5))
+        return dict(
+            idx=st["idx"],
+            u=m2(res["u_hi"], st["u"]), u_lo=m2(res["u_lo"], st["u_lo"]),
+            lnt=m1(res["lnt_hi"], st["lnt"]),
+            lnt_lo=m1(res["lnt_lo"], st["lnt_lo"]),
+            lnt1=st["lnt1"], erg=st["erg"], x0=st["x0"], is_ph=st["is_ph"],
+            dt=m1(res["dt"], st["dt"]), steps=m1(n_steps, st["steps"]),
+            ncr=m1(ncr, st["ncr"]), done=m1(res["done"], st["done"]),
+            code=m1(code, st["code"]), lnt_mid=st["lnt_mid"],
+            cru=jnp.where(took[:, :, None], cru, st["cru"]),
+            crlnt=jnp.where(took, crlnt, st["crlnt"]),
+            pcx=jnp.where(took, pcx, st["pcx"]),
+            # the save-grid midpoint is spanned by exactly one launch; a
+            # written row has r > 0 (the kernel zero-fills unwritten rows)
+            save=jnp.where((act & (save_mid[:, 0] != 0))[:, None],
+                           save_mid, st["save"]),
+            nfine=st["nfine"] + jnp.where(act, nfine, 0.0),
+        )
+
+    def flush(acc, st):
+        idx = st["idx"]
+        return {k: acc[k].at[idx].set(st[k]) for k in acc}
+
+    # stage plan: B -> B/shrink -> ... -> floor (all multiples of 128)
+    floor = max(min(stage_floor, B), 128)
+    sizes = []
+    n = B
+    while n > floor:
+        n = max(((n // stage_shrink) // 128) * 128, floor)
+        sizes.append(n)
+
+    # Per-stage chunk: later stages hold few tiles, so per-launch fixed
+    # cost dominates lane-waste — grow the iteration budget geometrically
+    # (modeled ~2.2x over a constant chunk; scripts/probe_chunked_tpu.py).
+    chunk = int(chunk_iters)
+    for target in sizes:
+        # launch until the active population fits the next stage
+        def stage_cond(s, t=target):
+            alive = s["done"] < 0.5
+            return jnp.any(alive) & (jnp.sum(alive) > t)
+
+        st = lax.while_loop(stage_cond,
+                            functools.partial(launch, it_cap=chunk), st)
+        acc = flush(acc, st)
+        # compact: actives first (stable partition).  Sorting the actives by
+        # steps-so-far (straggler grouping) was A/B-measured a NON-lever:
+        # 611 vs 578 ms at the headline config — steps-so-far does not
+        # predict steps-remaining here.
+        order = jnp.argsort(st["done"], stable=True)
+        st = {k: v[order][:target] for k, v in st.items()}
+        chunk = min(chunk * max(int(stage_chunk_growth), 1),
+                    int(cfg.max_steps))
+
+    st = lax.while_loop(lambda s: jnp.any(s["done"] < 0.5),
+                        functools.partial(launch, it_cap=chunk), st)
+    acc = flush(acc, st)
+
+    uf = acc["u"] + acc["u_lo"]
+    lntf = acc["lnt"] + acc["lnt_lo"]
+    return (uf, lntf, acc["steps"], acc["code"], acc["ncr"], acc["cru"],
+            acc["crlnt"], acc["save"], acc["pcx"], jnp.zeros(B, f32),
+            acc["is_ph"], acc["nfine"])
 
 
 def flops_per_step(sc: Scene, cfg: NumericsConfig, species="photon"):

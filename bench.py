@@ -76,13 +76,17 @@ def main():
     v = jnp.asarray(v)
     erg = jnp.asarray(erg)
 
-    # Engine selection: "mega" = the Pallas megakernel (whole adaptive loop
-    # in one TPU kernel, tile-level lockstep; ops/megakernel.py) — default on
-    # TPU; "pool" = the XLA pool with chunked straggler compaction.
+    # Engine selection: "mega_chunked" = the Pallas megakernel relaunched in
+    # bounded-iteration slices with staged on-device straggler compaction
+    # (lockstep waste bounded per chunk; ops/megakernel.py
+    # integrate_mega_chunked) — default on TPU; "mega" = one unbounded
+    # launch (tile-level lockstep only); "pool" = the XLA pool with chunked
+    # straggler compaction.
     engine = os.environ.get(
-        "BENCH_ENGINE", "mega" if platform != "cpu" and B % 128 == 0 else "pool")
+        "BENCH_ENGINE",
+        "mega_chunked" if platform != "cpu" and B % 128 == 0 else "pool")
 
-    if engine == "mega":
+    if engine in ("mega", "mega_chunked"):
         from adiabatic_raytracer_tpu.ops import megakernel as mk
         from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
         from adiabatic_raytracer_tpu.ops.geometry import (
@@ -94,8 +98,13 @@ def main():
         u0 = jnp.concatenate([cart_to_sph(x), w0, (-erg)[:, None]], axis=1)
         lnt0 = jnp.full(B, cfg.ln_t_start)
         lnt1 = jnp.full(B, float(np.log(t_end)))
-        fmega = jax.jit(lambda u, xc: mk.integrate_mega(u, lnt0, lnt1, erg, xc,
-                                                        sc, cfg))
+        chunk = int(os.environ.get("BENCH_CHUNK_ITERS", "64"))
+        if engine == "mega_chunked":
+            fmega = jax.jit(lambda u, xc: mk.integrate_mega_chunked(
+                u, lnt0, lnt1, erg, xc, sc, cfg, chunk_iters=chunk))
+        else:
+            fmega = jax.jit(lambda u, xc: mk.integrate_mega(
+                u, lnt0, lnt1, erg, xc, sc, cfg))
 
         def step(eps):
             # perturb the launch state so every rep is fresh work
@@ -120,20 +129,25 @@ def main():
         # finishes, so hw work = sum over tiles of max-steps x 128).
         fps = mk.flops_per_step(sc, cfg)
         steps_np = np.asarray(steps)
-        tile_max = steps_np.reshape(-1, 128).max(axis=1)
-        hw_lane_steps = float(tile_max.sum() * 128)
         useful_flops = float(steps_np.sum()) * fps
         extra = {
             "flops_per_step_model": round(fps, 1),
             "achieved_gflops": round(useful_flops / dt / 1e9, 2),
             "vpu_peak_frac": round(useful_flops / dt / mk.VPU_PEAK_F32, 4),
-            "lockstep_efficiency": round(float(steps_np.sum()) / hw_lane_steps, 3),
+        }
+        if engine == "mega_chunked":
+            extra["chunk_iters"] = chunk
+        else:
+            # single launch: a tile runs until its slowest lane finishes
+            tile_max = steps_np.reshape(-1, 128).max(axis=1)
+            hw_lane_steps = float(tile_max.sum() * 128)
+            extra["lockstep_efficiency"] = round(
+                float(steps_np.sum()) / hw_lane_steps, 3)
             # fraction of tile-steps where the gated fine event scan ran
             # (diag[6]; equals 0.0 when the two-phase gate is disabled)
-            "gate_frac": round(
+            extra["gate_frac"] = round(
                 float(np.asarray(n_fine).reshape(-1, 128).max(axis=1).sum())
-                / max(float(tile_max.sum()), 1.0), 3),
-        }
+                / max(float(tile_max.sum()), 1.0), 3)
         if os.environ.get("BENCH_BREAKDOWN"):
             # marginal cost of the interior event scan: same kernel at
             # interp_points=2 (the scan cannot be removed structurally)

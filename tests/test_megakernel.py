@@ -71,6 +71,66 @@ def test_megakernel_matches_pool():
     assert np.median(rel_c[both]) < 1e-4
 
 
+def test_chunked_matches_single_launch():
+    """integrate_mega_chunked (staged compaction pyramid, small stages so
+    the sort/slice/flush machinery is exercised) vs one unbounded launch:
+    identical exit codes, crossing topology, and crossing/midpoint records;
+    endpoints agree up to controller noise at the launch boundaries (dt and
+    float-float state are carried exactly; f0/g0 recompute is a ~1-ulp
+    perturbation, amplified only on chaotic step-capped lanes)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+    from adiabatic_raytracer_tpu.ops.geometry import cart_to_sph, celerity_from_cart
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0)
+    cfg = NumericsConfig(interp_points=8, compute_dtype="f32", max_steps=3000)
+    B = 256
+    rng = np.random.default_rng(3)
+    r = rng.uniform(14.0, 24.0, B)
+    th = np.arccos(rng.uniform(-0.9, 0.9, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = rng.normal(size=(B, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+
+    x = jnp.asarray(x)
+    erg = jnp.asarray(erg)
+    k0n = k_norm_cart(x, jnp.asarray(v), 0.0, erg, sc, sc.mass_ns,
+                      is_photon=True, ax_fix=True)
+    w0 = celerity_from_cart(x, k0n, sc.mass_ns_eff) / erg[:, None]
+    u0 = jnp.concatenate([cart_to_sph(x), w0, (-erg)[:, None]], axis=1)
+    lnt0 = jnp.full(B, cfg.ln_t_start)
+    # lane 0: already done at entry (lnt1 <= lnt0) — must pass through
+    lnt1 = jnp.full(B, float(np.log(1e-3))).at[0].set(cfg.ln_t_start - 1.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        s = mk.integrate_mega(u0, lnt0, lnt1, erg, x, sc, cfg)
+        c = mk.integrate_mega_chunked(u0, lnt0, lnt1, erg, x, sc, cfg,
+                                      chunk_iters=75, stage_shrink=2,
+                                      stage_floor=128)
+
+    np.testing.assert_array_equal(np.asarray(s[3]), np.asarray(c[3]))  # code
+    np.testing.assert_array_equal(np.asarray(s[4]), np.asarray(c[4]))  # n_cross
+    for i in (5, 6, 7, 8):  # cross_u, cross_lnt, save_mid, pcx: bit-exact
+        np.testing.assert_array_equal(np.asarray(s[i]), np.asarray(c[i]))
+    # the done-at-entry lane echoes its input state in both engines
+    np.testing.assert_allclose(np.asarray(c[0][0]),
+                               np.asarray(u0[0]).astype(np.float32), rtol=1e-6)
+    # endpoint positions on end-reached lanes: boundary-noise level
+    code = np.asarray(s[3])
+    ok = code == 1.0
+    rel = np.abs(np.asarray(s[0][:, :3]) - np.asarray(c[0][:, :3])) \
+        / (np.abs(np.asarray(s[0][:, :3])) + 1e-12)
+    assert np.median(rel[ok]) < 1e-6, np.median(rel[ok])
+    assert rel[ok].max() < 1e-2, rel[ok].max()
+
+
 def test_propagate_mega_backtrace_matches_pool():
     """Axion backtrace mode: multi-crossing collection via propagate_mega
     (interpreter) vs the pool propagate."""
