@@ -181,6 +181,15 @@ class NumericsConfig:
     # engine.  0 disables (host-side _prob_batch everywhere, the pre-round-3
     # behavior).
     in_kernel_prob: int = static_field(1)
+    # Megakernel engine: per-launch iteration budget for the BACKTRACE's
+    # staged straggler compaction (ops/megakernel.integrate_mega_chunked).
+    # The production backtrace integrates every event to t_end with a
+    # heavy-tailed step count, so one launch runs each 128-lane tile until
+    # its slowest lane finishes; the chunked engine relaunches in bounded
+    # slices and compacts survivors into geometrically shrinking buffers.
+    # 0 = single launch.  Applies to the mega engine only (the pool path
+    # has ops/streaming.CompactedPropagator for the same job).
+    backtrace_chunk: int = static_field(64)
     # Megakernel engine: collapse the pure-MC tree chain INTO the kernel
     # (ops/megakernel with_chain): once an event is in MC mode with a single
     # pending node, the kernel continues through crossings (in-kernel

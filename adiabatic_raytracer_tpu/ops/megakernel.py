@@ -1315,7 +1315,8 @@ VPU_PEAK_F32 = 12.3e12
 def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
                    delta_w, lnt0, lnt1, is_photon, max_crossings: int = 1,
                    species: str = "mixed", tile_rows: int = 1,
-                   with_prob: bool = False, chain_cap=None, uniforms=None):
+                   with_prob: bool = False, chain_cap=None, uniforms=None,
+                   chunk_iters=None):
     """PropagateResult-compatible wrapper around the megakernel
     (drop-in for ops/propagate.propagate on TPU; f32 throughout with
     float-float state inside the kernel).
@@ -1346,13 +1347,24 @@ def propagate_mega(x0_cart, k0_cart, sc: Scene, cfg: NumericsConfig, *, erg,
     lnt0p = pad(lnt0)
     with_chain = chain_cap is not None and can_prob(sc)
     with_prob = (with_prob and can_prob(sc)) or with_chain
-    out = integrate_mega(
-        pad(u0, 1.0), lnt0p, pad(lnt1, -1e30), pad(erg, 1.0), pad(x0_cart, 1e30),
-        sc, cfg, max_crossings=max_crossings, tile_rows=tile_rows,
-        is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5, species=species,
-        with_prob=with_prob,
-        chain_cap=pad(chain_cap) if with_chain else None,
-        uniforms=pad(uniforms) if with_chain else None)
+    if chunk_iters and not with_chain:
+        # staged straggler compaction (long heavy-tailed launches, e.g. the
+        # production backtrace); chain mode cannot resume across launches
+        out = integrate_mega_chunked(
+            pad(u0, 1.0), lnt0p, pad(lnt1, -1e30), pad(erg, 1.0),
+            pad(x0_cart, 1e30), sc, cfg, chunk_iters=int(chunk_iters),
+            max_crossings=max_crossings, tile_rows=tile_rows,
+            is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5,
+            species=species, with_prob=with_prob)
+    else:
+        out = integrate_mega(
+            pad(u0, 1.0), lnt0p, pad(lnt1, -1e30), pad(erg, 1.0),
+            pad(x0_cart, 1e30),
+            sc, cfg, max_crossings=max_crossings, tile_rows=tile_rows,
+            is_photon=pad(jnp.where(is_photon, 1.0, 0.0)) > 0.5,
+            species=species, with_prob=with_prob,
+            chain_cap=pad(chain_cap) if with_chain else None,
+            uniforms=pad(uniforms) if with_chain else None)
     (uf, lntf, steps, code, n_cross, cru, crlnt, save_mid, pcx,
      chain_nodes, is_ph_out, _n_fine) = [o[:B] for o in out]
 

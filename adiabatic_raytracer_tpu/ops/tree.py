@@ -102,6 +102,7 @@ def backtrace(xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
             max_crossings=cfg.max_crossings,
             species="axion",
             with_prob=bool(cfg.in_kernel_prob),
+            chunk_iters=int(cfg.backtrace_chunk) or None,
         )
     else:
         res = propagate(
