@@ -189,7 +189,15 @@ class NumericsConfig:
     # slices and compacts survivors into geometrically shrinking buffers.
     # 0 = single launch.  Applies to the mega engine only (the pool path
     # has ops/streaming.CompactedPropagator for the same job).
-    backtrace_chunk: int = static_field(64)
+    # DEFAULT 0: inside the production pipeline the chunked backtrace is a
+    # measured NON-lever — the phase alone improves (56.6 -> 49.5 ms at the
+    # deep batch shape, scripts/probe_backtrace_chunked.py) but end-to-end
+    # it LOSES 10% (BENCH_DEEP 16k events: 5011 ev/s chunk=0 vs 4493
+    # chunk=64, identical rows) — the extra relaunch dispatches serialize
+    # against the async sample-ahead overlap.  Chunking pays off only for
+    # standalone heavy-tailed launches (bench.py headline: 40.8k -> 126k
+    # rays/s via integrate_mega_chunked at 65k rays).
+    backtrace_chunk: int = static_field(0)
     # Megakernel engine: collapse the pure-MC tree chain INTO the kernel
     # (ops/megakernel with_chain): once an event is in MC mode with a single
     # pending node, the kernel continues through crossings (in-kernel

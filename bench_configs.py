@@ -83,9 +83,17 @@ def main():
         lnt0 = jnp.full(CH, cfg.ln_t_start)
         lnt1 = jnp.full(CH, float(np.log(t_end)))
 
+        # staged straggler compaction (integrate_mega_chunked) unless
+        # BENCH_CHUNK_ITERS=0 asks for the single-launch kernel
+        chunk_iters = int(os.environ.get("BENCH_CHUNK_ITERS", "64"))
+
         @jax.jit
         def spectrum_chunk(u0, eps, hist, steps_acc, ncross_acc):
-            uf, lntf, steps, code, ncross, cru, crlnt, *_x = mk.integrate_mega(
+            integ = (
+                (lambda *a, **k: mk.integrate_mega_chunked(
+                    *a, chunk_iters=chunk_iters, **k))
+                if chunk_iters else mk.integrate_mega)
+            uf, lntf, steps, code, ncross, cru, crlnt, *_x = integ(
                 u0.at[:, 0].add(eps), lnt0, lnt1, erg, x, sc, cfg)
             # MC spectrum: survival-weighted pulse profile of the endpoint
             # azimuth, entirely on device (the combine_files + numpy
@@ -125,7 +133,9 @@ def main():
             "steps_per_sec": round(float(tot_steps) / dt, 1),
             "crossings_frac": round(float(cross_frac), 3),
             "spectrum_sum": float(hist_np.sum()),
-            "engine": "mega+ondevice_hist", "compute_dtype": compute_dtype,
+            "engine": ("mega_chunked+ondevice_hist" if chunk_iters
+                       else "mega+ondevice_hist"),
+            "compute_dtype": compute_dtype,
             "platform": platform, "config": 3,
         }))
         return 0
