@@ -92,6 +92,21 @@ class NumericsConfig:
     safety: Any = 0.9
     max_dt_factor: Any = 5.0
     min_dt_factor: Any = 0.2
+    # Lund/Hairer predictive (PI) step controller stabilization (dopri5.f
+    # "beta"): growth = safety * enorm^-(0.2 - 0.75*beta) * errold^beta with
+    # errold = max(enorm, 1e-4) from the last ACCEPTED step, growth clamped
+    # <= 1 after a rejection.  0 reproduces the plain I controller
+    # bit-for-bit.  Both engines (pool + megakernel) honor it.
+    # MEASURED at the TPU headline (rtol 1e-7, chunked engine,
+    # BENCH_PI_BETA=0.04): steps/ray 117.5 -> 102.8 (-12.5%) but wall-clock
+    # a WASH (129.5k rays/s vs 126-136k session variance for beta=0) — the
+    # extra carried errold vector costs every lockstep tile-step what the
+    # step-count saving returns.  At LOOSE tolerance (rtol 1e-6, CPU
+    # interpret smoke) beta=0.04 halves steps (132 -> 73) and eliminates
+    # dt_min stall cuts, and endpoint error vs the f64 oracle IMPROVES
+    # (median 4.0e-4 -> 2.3e-4).  Default 0 keeps the golden rows and
+    # census pins bit-stable; set 0.04 for loose-tolerance workloads.
+    pi_beta: Any = 0.0
     # --- static ---
     max_steps: int = static_field(100_000)
     n_save: int = static_field(3)           # "ntimes": saved trajectory points

@@ -75,6 +75,7 @@ class PoolState(NamedTuple):
     steps: Any       # [B] int32 attempted steps
     lnt_ck: Any      # [B] log-time at the last stall check
     stalled: Any     # [B] bool: cut by the stall detector
+    errold: Any      # [B] PI controller memory (last accepted enorm)
 
 
 class PoolResult(NamedTuple):
@@ -167,6 +168,7 @@ def integrate_pool(
             steps=jnp.zeros(B, jnp.int32),
             lnt_ck=lnt0,
             stalled=jnp.zeros(B, bool),
+            errold=jnp.full(B, 1e-4, dtype),
         )
 
     taus_interior = jnp.linspace(0.0, 1.0, K + 1)[1:-1].astype(dtype)  # [K-1]
@@ -275,9 +277,18 @@ def integrate_pool(
         forced = st.dt <= cfg.dt_min * 1.0000001
         accept = ((enorm <= 1.0) | forced) & active & (h > 0)
 
-        # PI-free step controller (standard I controller with clamps)
-        fac = cfg.safety * jnp.where(enorm > 0, enorm, 1e-10) ** -0.2
-        fac = jnp.clip(fac, cfg.min_dt_factor, cfg.max_dt_factor)
+        # Step controller: plain I by default; Lund/Hairer predictive PI
+        # (dopri5.f) when cfg.pi_beta > 0 -- the errold boost damps the
+        # accept/reject limit cycle near the error boundary
+        en_safe = jnp.where(enorm > 0, enorm, 1e-10)
+        if float(cfg.pi_beta):
+            expo1 = 0.2 - 0.75 * float(cfg.pi_beta)
+            fac = cfg.safety * en_safe ** -expo1 * st.errold ** cfg.pi_beta
+            fac = jnp.clip(fac, cfg.min_dt_factor, cfg.max_dt_factor)
+            fac = jnp.where(accept, fac, jnp.minimum(fac, 1.0))
+        else:
+            fac = cfg.safety * en_safe ** -0.2
+            fac = jnp.clip(fac, cfg.min_dt_factor, cfg.max_dt_factor)
         dt_next = jnp.maximum(st.dt * fac, cfg.dt_min)
 
         t1 = t0 + h
@@ -310,6 +321,7 @@ def integrate_pool(
             steps=st.steps + active.astype(jnp.int32),
             lnt_ck=st.lnt_ck,
             stalled=st.stalled,
+            errold=jnp.where(accept, jnp.maximum(enorm, 1e-4), st.errold),
         )
 
         if detect_events:

@@ -164,6 +164,9 @@ class SceneConsts:
         self.safety = float(cfg.safety)
         self.min_fac = float(cfg.min_dt_factor)
         self.max_fac = float(cfg.max_dt_factor)
+        # Lund/Hairer PI stabilization (dopri5.f): 0 = plain I controller
+        self.pi_beta = float(cfg.pi_beta)
+        self.expo1 = 0.2 - 0.75 * self.pi_beta
         self.max_steps = int(cfg.max_steps)
         self.it_cap = int(cfg.max_steps)  # per-LAUNCH cap (chunked resume)
         self.interp = int(cfg.interp_points)
@@ -539,6 +542,8 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     ncross0 = aux_ref[:, 11, :]
     lnt_mid = aux_ref[:, 12, :]
     done0 = aux_ref[:, 13, :]
+    errold0 = aux_ref[:, 14, :]   # PI controller memory (chunked resume)
+    use_pi = C.pi_beta != 0.0
 
     # Tile-level skip for the chunked-compaction wrapper: when EVERY lane in
     # the tile carries the explicit done flag (only integrate_mega_chunked
@@ -611,13 +616,20 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
     x0c_const = (x0c[0], x0c[1], x0c[2])
 
     def body(carry):
+        it = carry[-1]
+        if use_pi:
+            errold = carry[-2]
+            core = carry[:-2]
+        else:
+            errold = None
+            core = carry[:-1]
         if with_chain:
             (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
              save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
-             nodes_used, it) = carry
+             nodes_used) = core
         else:
             (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
-             save_mid, code, lnt_ck, it) = carry
+             save_mid, code, lnt_ck) = core
             is_ph = is_ph_const
             x0c = x0c_const
             seg_cross = n_cross   # no chain restarts: segment == launch
@@ -648,9 +660,19 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         forced = dt <= C.dt_min * 1.0000001
         accept = ((enorm <= 1.0) | forced) & active & (h > 0)
 
-        fac = C.safety * jnp.where(enorm > 0, enorm, 1e-10) ** -0.2
-        fac = jnp.clip(fac, C.min_fac, C.max_fac)
+        en_safe = jnp.where(enorm > 0, enorm, 1e-10)
+        if use_pi:
+            # predictive controller: boost by the last accepted step's error;
+            # never grow the step right after a rejection
+            fac = C.safety * en_safe ** -C.expo1 * errold ** C.pi_beta
+            fac = jnp.clip(fac, C.min_fac, C.max_fac)
+            fac = jnp.where(accept, fac, jnp.minimum(fac, 1.0))
+        else:
+            fac = C.safety * en_safe ** -0.2
+            fac = jnp.clip(fac, C.min_fac, C.max_fac)
         dt_next = jnp.where(active, jnp.maximum(dt * fac, C.dt_min), dt)
+        if use_pi:
+            errold = jnp.where(accept, jnp.maximum(enorm, 1e-4), errold)
 
         g_new = _condition(C, u_new, lnt + h)
 
@@ -949,21 +971,29 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
                n_cross2, save_mid, code2, lnt_ck2)
         if with_chain:
             ret = ret + (is_ph, x0c, seg_cross, nodes_used)
+        if use_pi:
+            ret = ret + (errold,)
         return ret + (it + 1,)
 
     carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
              save_mid, code, lnt_ck)
     if with_chain:
         carry = carry + (is_ph, x0c_const, seg_cross, nodes_used)
+    if use_pi:
+        # resumed lanes carry the controller memory across the launch
+        # boundary; fresh lanes start at Hairer's facold floor
+        carry = carry + (jnp.where(errold0 > 0, errold0, 1e-4),)
     carry = carry + (jnp.zeros((), jnp.int32),)
     out = lax.while_loop(cond_fn, body, carry)
+    errold_out = out[-2] if use_pi else jnp.zeros_like(lnt)
+    out = out[:-2] if use_pi else out[:-1]
     if with_chain:
         (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
          save_mid, code, lnt_ck, is_ph, x0c, seg_cross,
-         nodes_used, _) = out
+         nodes_used) = out
     else:
         (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, n_cross,
-         save_mid, code, lnt_ck, _) = out
+         save_mid, code, lnt_ck) = out
         is_ph = is_ph_const
         nodes_used = jnp.zeros_like(lnt)
 
@@ -987,7 +1017,8 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         # diag[6] = fine-scan step count (written in-loop)
         diag_ref[:, 7, :] = dt           # controller dt (chunked resume)
         diag_ref[:, 8, :] = done_f       # done flag (chunked resume)
-        for i in range(9, 16):
+        diag_ref[:, 9, :] = errold_out   # PI controller memory (resume)
+        for i in range(10, 16):
             diag_ref[:, i, :] = zc
         # cross_ref / pcx_ref were written in place at record time
         for i in range(7):
@@ -1037,19 +1068,20 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
     if resume is None:
         u_lo_rows = [zero] * 7
         res_rows = [zero, zero, zero, zero,
-                    to_rl(0.5 * (lnt0 + lnt1)), zero]
+                    to_rl(0.5 * (lnt0 + lnt1)), zero, zero]
     else:
         u_lo_rows = [to_rl(resume["u_lo"][:, i]) for i in range(7)]
         res_rows = [to_rl(resume["lnt_lo"]), to_rl(resume["dt"]),
                     to_rl(resume["steps"]), to_rl(resume["n_cross"]),
-                    to_rl(resume["lnt_mid"]), to_rl(resume["done"])]
+                    to_rl(resume["lnt_mid"]), to_rl(resume["done"]),
+                    to_rl(resume["errold"]) if "errold" in resume else zero]
     uin = jnp.stack([to_rl(u0[:, i]) for i in range(7)] + [zero]
                     + u_lo_rows + [zero], axis=1)                # [R, 16, L]
     aux = jnp.stack([to_rl(lnt0), to_rl(lnt1), to_rl(erg),
                      to_rl(x0_cart[:, 0]), to_rl(x0_cart[:, 1]),
                      to_rl(x0_cart[:, 2]), to_rl(is_ph),
                      to_rl(chain_cap) if with_chain else zero]
-                    + res_rows + [zero, zero], axis=1)           # [R, 16, L]
+                    + res_rows + [zero], axis=1)                 # [R, 16, L]
     if with_chain:
         uni = jnp.stack([to_rl(uniforms[:, s]) for s in range(n_slots)],
                         axis=1)                                  # [R, S, L]
@@ -1109,7 +1141,7 @@ def integrate_mega(u0, lnt0, lnt1, erg, x0_cart, sc: Scene, cfg: NumericsConfig,
                            axis=1),
             lnt_hi=lntout[:, 0, :].reshape(B),
             lnt_lo=lntout[:, 1, :].reshape(B),
-            dt=dg(7), done=dg(8)),)
+            dt=dg(7), done=dg(8), errold=dg(9)),)
     return ret
 
 
@@ -1168,7 +1200,7 @@ def integrate_mega_chunked(u0, lnt0, lnt1, erg, x0_cart, sc: Scene,
         lnt_mid=(0.5 * (lnt0f + lnt1f)).astype(f32),
         cru=jnp.zeros((B, S, 7), f32), crlnt=jnp.zeros((B, S), f32),
         pcx=jnp.zeros((B, S), f32), save=jnp.zeros((B, 7), f32),
-        nfine=jnp.zeros(B, f32),
+        nfine=jnp.zeros(B, f32), errold=jnp.zeros(B, f32),
     )
     # pool-order accumulators, filled by the stage flushes
     acc = {k: jnp.zeros_like(v) for k, v in st.items() if k != "idx"}
@@ -1178,7 +1210,8 @@ def integrate_mega_chunked(u0, lnt0, lnt1, erg, x0_cart, sc: Scene,
         act = st["done"] < 0.5
         resume = dict(u_lo=st["u_lo"], lnt_lo=st["lnt_lo"], dt=st["dt"],
                       steps=st["steps"], n_cross=st["ncr"],
-                      lnt_mid=st["lnt_mid"], done=st["done"])
+                      lnt_mid=st["lnt_mid"], done=st["done"],
+                      errold=st["errold"])
         (_uf, _lntf, n_steps, code, ncr, cru, crlnt, save_mid, pcx,
          _nodes, _isph, nfine, res) = integrate_mega(
             st["u"], st["lnt"], st["lnt1"], st["erg"], st["x0"], sc, cfg,
@@ -1213,6 +1246,7 @@ def integrate_mega_chunked(u0, lnt0, lnt1, erg, x0_cart, sc: Scene,
             save=jnp.where((act & (save_mid[:, 0] != 0))[:, None],
                            save_mid, st["save"]),
             nfine=st["nfine"] + jnp.where(act, nfine, 0.0),
+            errold=m1(res["errold"], st["errold"]),
         )
 
     def flush(acc, st):

@@ -59,6 +59,8 @@ def main():
         interp_kw["interp_coarse"] = int(os.environ["BENCH_COARSE"])
     if os.environ.get("BENCH_GATE_THETA"):
         interp_kw["scan_gate_theta"] = float(os.environ["BENCH_GATE_THETA"])
+    if os.environ.get("BENCH_PI_BETA"):
+        interp_kw["pi_beta"] = float(os.environ["BENCH_PI_BETA"])
     cfg = NumericsConfig(rtol=1e-7, atol=1e-6, compute_dtype=compute_dtype,
                          **interp_kw)
 

@@ -146,3 +146,25 @@ def test_energy_conservation_aligned():
     res = _propagate_photons(sc, x0, khat, 1e-3, erg_val=1.3e-5)
     e7 = np.asarray(res.erg[0])
     np.testing.assert_allclose(e7, e7[0], rtol=1e-7)
+
+
+def test_pi_controller_accuracy_and_steps():
+    """cfg.pi_beta enables the Lund/Hairer predictive controller
+    (dopri5.f's beta): same endpoint accuracy contract as the I controller,
+    never more attempted steps on a smooth problem (the errold boost damps
+    the accept/reject limit cycle).  beta=0 is the default and reproduces
+    the plain I controller bit-for-bit (pinned by the golden e2e rows)."""
+    rhs = lambda u, t, a: jnp.stack([u[1], -jnp.sin(u[0])])  # pendulum
+    cond = lambda u, t, a: jnp.array(1.0)
+    B = 4
+    u0 = jnp.stack([jnp.linspace(0.1, 2.5, B), jnp.zeros(B)], axis=1)
+    t0 = jnp.zeros(B)
+    t1 = jnp.full(B, 50.0)
+    cfg_i = NumericsConfig(rtol=1e-7, atol=1e-9)
+    cfg_pi = NumericsConfig(rtol=1e-7, atol=1e-9, pi_beta=0.04)
+    res_i = _run_simple(rhs, cond, u0, t0, t1, cfg_i, detect_events=False)
+    res_pi = _run_simple(rhs, cond, u0, t0, t1, cfg_pi, detect_events=False)
+    # both hit the shared accuracy contract: endpoints agree to ~tolerance
+    np.testing.assert_allclose(np.asarray(res_pi.u), np.asarray(res_i.u),
+                               atol=1e-5)
+    assert int(np.asarray(res_pi.steps).sum()) <= int(np.asarray(res_i.steps).sum())
