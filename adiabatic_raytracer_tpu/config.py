@@ -156,11 +156,17 @@ class NumericsConfig:
     # 0 = auto: 2*E rounded up to a tile, never below 128.  Set to a large
     # value to disable compaction (launch all E*K lanes).
     tree_queue_width: int = static_field(0)
-    # Work-queue lanes per event per tree iteration (0 = auto: mc_nodes + 2,
-    # the bound on simultaneously-pending nodes).  Cutoffs are checked once
-    # per iteration, so a batch may overshoot num_cutoff/max_nodes by up to
-    # K-1 nodes vs the reference; tree_k=1 forces per-node checks (exact
-    # reference cutoff semantics, ~K times more iterations) for audit runs.
+    # Work-queue lanes per event per tree iteration.  0 = auto: 1 under the
+    # streaming window (tree_window > 0), else mc_nodes + 2 (the bound on
+    # simultaneously-pending nodes).  Cutoffs are checked once per
+    # iteration, so a batch may overshoot num_cutoff/max_nodes by up to K-1
+    # nodes vs the reference; K=1 is the reference's EXACT per-node cutoff
+    # semantics (MainRunner.jl:324-339) — and under the window it is also
+    # the measured v5e optimum (deep 8192-event sweep: K=1 7426 ev/s vs
+    # K=12 3910; per-iteration glue and launch width scale with window*K,
+    # and the window keeps occupancy high without per-event width).  The
+    # round-2 "K=1 costs 1.6x" held only for the unwindowed per-batch
+    # engine, where K is what keeps the draining batch's tiles full.
     tree_k: int = static_field(0)
     # Streaming active window of the forward tree engine (ops/tree.py):
     # pools hold ALL E events of the batch, but each iteration runs only an

@@ -291,7 +291,22 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     dtype = xpos.dtype
     P = 2 * tcfg.max_nodes + 4
     NS = cfg.n_save
-    K = int(min(P, cfg.tree_k if cfg.tree_k > 0 else tcfg.mc_nodes + 2))
+    # Lanes per event per iteration.  Auto: under the streaming window the
+    # measured v5e optimum is K=1 — per-iteration glue and launch width
+    # scale with Ew*K while the window already keeps occupancy high, so
+    # fewer lanes beats fewer iterations (deep-cutoff sweep, 8192 events:
+    # K=1: 7426 ev/s, K=2: 6803, K=3: 6444, K=6: 5269, K=12: 3910) — AND
+    # K=1 is the reference's exact per-node cutoff semantics
+    # (MainRunner.jl:324-339; no K-batch overshoot).  The unwindowed
+    # engine keeps K = mc_nodes + 2 (the pending-count bound): there the
+    # batch drains to ~1-event occupancy, so per-event width is what keeps
+    # tiles full.
+    if cfg.tree_k > 0:
+        K = int(min(P, cfg.tree_k))
+    elif cfg.tree_window > 0:
+        K = 1
+    else:
+        K = int(min(P, tcfg.mc_nodes + 2))
     eidx = jnp.arange(E)
     # in-kernel probability / MC chain collapse (megakernel): static gates
     mega_chain = (cfg.engine == "mega" and bool(cfg.mc_chain)

@@ -65,7 +65,10 @@ def main():
                          tree_k=int(os.environ.get("BENCH_TREE_K", "0")),
                          tree_queue_width=int(os.environ.get("BENCH_TREE_W", "0")),
                          tree_window=tree_window,
-                         backtrace_chunk=int(os.environ.get("BENCH_BT_CHUNK", "0")))
+                         backtrace_chunk=int(os.environ.get("BENCH_BT_CHUNK", "0")),
+                         # kernel-cost attribution knob (see bench.py)
+                         **({"interp_coarse": int(os.environ["BENCH_COARSE"])}
+                            if os.environ.get("BENCH_COARSE") else {}))
     deep = os.environ.get("BENCH_DEEP", "") == "1"
     if deep:  # the reference's production scale (runner_example.sh:4)
         tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=50, mc_nodes=10,

@@ -176,8 +176,12 @@ def test_streaming_window_matches_batch():
     only the iteration schedule may differ (n_iters/done_it excluded)."""
     x, k_init, erg = _events(6)
     tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=3, mc_nodes=2, max_nodes=8)
-    cfg_b = NumericsConfig(interp_points=8, max_crossings=8)
-    cfg_s = NumericsConfig(interp_points=8, max_crossings=8, tree_window=2)
+    # tree_k pinned equal on both engines: auto-K is 1 under the window but
+    # mc_nodes+2 without it (ops/tree.py), and the bitwise contract holds
+    # only at equal K (node indices are assigned at pop time)
+    cfg_b = NumericsConfig(interp_points=8, max_crossings=8, tree_k=4)
+    cfg_s = NumericsConfig(interp_points=8, max_crossings=8, tree_k=4,
+                           tree_window=2)
     outs = [tree.forward_tree(jax.random.PRNGKey(9), x, k_init, erg, SC, c,
                               tcfg, lnt_end=0.0) for c in (cfg_b, cfg_s)]
     skip = {"n_iters", "done_it"}
