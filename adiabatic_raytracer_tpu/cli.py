@@ -142,10 +142,12 @@ def main(argv=None) -> int:
         # auto: window the forward tree at 128 active events whenever the
         # batch is bigger (finished events' window lanes refill immediately
         # instead of the batch draining at ~1-event occupancy;
-        # NumericsConfig.tree_window).  v5e sweep at production cutoffs,
-        # ev/s by window: 64: 3781, 128: 4617, 256: 3540, 512: 3370,
-        # 1024: 2530, off: ~760 — per-iteration cost falls faster than the
-        # iteration count rises until the 2-tile launch floor at 128.
+        # NumericsConfig.tree_window).  v5e sweeps at production cutoffs
+        # both land on 128: at the original auto-K (ev/s by window) 64:
+        # 3781, 128: 4617, 256: 3540, 512: 3370, 1024: 2530, off: ~760;
+        # re-swept at the windowed auto-K=1 (8192 events) 64: 5627,
+        # 128: 7426, 256: 7169, 512: 5749 — outputs are bitwise identical
+        # across windows at fixed K, so this is schedule-only tuning.
         args.tree_window = 128 if args.event_batch > 128 else 0
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
                          engine=engine, tree_window=args.tree_window)

@@ -101,9 +101,11 @@ def main():
         lnt0 = jnp.full(B, cfg.ln_t_start)
         lnt1 = jnp.full(B, float(np.log(t_end)))
         chunk = int(os.environ.get("BENCH_CHUNK_ITERS", "64"))
+        floor = int(os.environ.get("BENCH_STAGE_FLOOR", "2048"))
         if engine == "mega_chunked":
             fmega = jax.jit(lambda u, xc: mk.integrate_mega_chunked(
-                u, lnt0, lnt1, erg, xc, sc, cfg, chunk_iters=chunk))
+                u, lnt0, lnt1, erg, xc, sc, cfg, chunk_iters=chunk,
+                stage_floor=floor))
         else:
             fmega = jax.jit(lambda u, xc: mk.integrate_mega(
                 u, lnt0, lnt1, erg, xc, sc, cfg))
