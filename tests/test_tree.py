@@ -210,3 +210,34 @@ def test_prob_compaction_matches_full():
     for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
                     jax.tree_util.tree_leaves(outs[1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_auto_k1_exact_cutoff_semantics():
+    """The windowed engine's auto-K is 1 (ops/tree.py), which makes the TPU
+    production default match the reference's per-node cutoff accounting
+    EXACTLY (MainRunner.jl:324-339): cutoffs are checked once per iteration
+    and an iteration processes exactly one node per event, so no K-batch
+    overshoot is possible.  Pins (a) bitwise identity with an explicit
+    tree_k=1 unwindowed run (the schedule-only window contract at the
+    production K), and (b) the per-node accounting invariants on the
+    windowed output: count <= max_nodes + 1 and count_main <= num_cutoff
+    (the reference stops *after* the node that crosses the line)."""
+    x, k_init, erg = _events(6)
+    tcfg = TreeConfig(prob_cutoff=1e-10, num_cutoff=3, mc_nodes=2, max_nodes=6)
+    cfg_w = NumericsConfig(interp_points=8, max_crossings=8, tree_window=2)
+    cfg_1 = NumericsConfig(interp_points=8, max_crossings=8, tree_k=1)
+    out_w, out_1 = [tree.forward_tree(jax.random.PRNGKey(5), x, k_init, erg,
+                                      SC, c, tcfg, lnt_end=0.0)
+                    for c in (cfg_w, cfg_1)]
+    skip = {"n_iters", "done_it"}
+    for name in type(out_w)._fields:
+        if name in skip:
+            continue
+        for la, lb in zip(jax.tree_util.tree_leaves(getattr(out_w, name)),
+                          jax.tree_util.tree_leaves(getattr(out_1, name))):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=name)
+    count = np.asarray(out_w.count)
+    count_main = np.asarray(out_w.count_main)
+    assert np.all(count <= tcfg.max_nodes + 1), count
+    assert np.all(count_main <= tcfg.num_cutoff), count_main
