@@ -243,6 +243,30 @@ class NumericsConfig:
     # the queue is chain-dominated and iterations would otherwise be mostly
     # idle).  0 = always chain.
     mc_chain_gate: int = static_field(4)
+    # Forward-tree engine: "queue" (the host work-queue/streaming-window
+    # engine, ops/tree.forward_tree — the general path, required for tree
+    # dumps / saveMode >= 2) or "kernel" (ops/treekernel.forward_tree_kernel
+    # — whole trees run INSIDE one Pallas launch, each lane an event with a
+    # per-lane pending-node queue in VMEM; exact per-node reference cutoff
+    # accounting, host-engine uniform stream).  "kernel" requires
+    # engine="mega" + in_kernel_prob + a megakernel.can_prob scene and
+    # serves the production saveMode<=1 contract (finals pack + counters);
+    # anything else silently falls back to "queue".  Events needing more
+    # than tree_kernel_finals final nodes are replayed exactly by the host
+    # engine under the same jit.
+    tree_engine: str = static_field("queue")
+    # In-kernel finals capacity per event (output-block slots).  Finals are
+    # bounded by num_cutoff per the reference's per-node check, so any value
+    # >= num_cutoff means no host replays ever happen; smaller values trade
+    # VMEM + per-record write cost against the (rare) replay.
+    tree_kernel_finals: int = static_field(8)
+    # Per-launch iteration budget of the in-kernel tree engine.  0 = one
+    # launch runs every tree to completion (tile lockstep spans the whole
+    # batch tail); > 0 relaunches in bounded slices with all-done tiles
+    # skipping via the kernel's tile_run gate (straggler containment like
+    # megakernel.integrate_mega_chunked, without the compaction pyramid —
+    # the event batch is only ~16 tiles).
+    tree_kernel_chunk: int = static_field(0)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

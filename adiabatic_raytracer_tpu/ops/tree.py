@@ -258,7 +258,7 @@ def _alloc_pools(E, P, NS, dtype):
 
 
 def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
-                 tcfg: TreeConfig, *, lnt_end) -> TreeResult:
+                 tcfg: TreeConfig, *, lnt_end, skip=None) -> TreeResult:
     """Forward branching tree from the MC-selected conversion point
     (get_tree, MainRunner.jl:126-352; parent photon seeded MainRunner.jl:653-664).
 
@@ -279,6 +279,12 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     Each node's MC draw folds in its per-event processing index, so draws are
     invariant to how iterations batch the work.
 
+    `skip`: optional [E] bool — events marked True start DONE (pools hold
+    only their seeded root).  Used by the in-kernel tree engine
+    (ops/treekernel.forward_tree_kernel) to replay ONLY its capacity-
+    overflow events here; with every event skipped the while loop runs zero
+    iterations.
+
     cfg.tree_window = N (0 < N < E) runs the loop over an N-wide STREAMING
     WINDOW of active events: pools hold all E events, each iteration gathers
     the window's rows, and a finished event's window lane refills from the
@@ -287,6 +293,18 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
     at ~1-event occupancy.  Per-event results are bitwise identical to the
     unwindowed engine (see NumericsConfig.tree_window).
     """
+    if cfg.tree_engine == "kernel" and skip is None:
+        from adiabatic_raytracer_tpu.ops.megakernel import can_prob as _cpk
+
+        if (cfg.engine == "mega" and bool(cfg.in_kernel_prob)
+                and _cpk(sc)):
+            from adiabatic_raytracer_tpu.ops.treekernel import (
+                forward_tree_kernel)
+
+            return forward_tree_kernel(key, xpos, k_init, erg_inf, sc, cfg,
+                                       tcfg, lnt_end=lnt_end)
+        # configurations the kernel engine does not cover fall back here
+
     E = xpos.shape[0]
     dtype = xpos.dtype
     P = 2 * tcfg.max_nodes + 4
@@ -394,7 +412,8 @@ def forward_tree(key, xpos, k_init, erg_inf, sc: Scene, cfg: NumericsConfig,
         count=jnp.zeros(E, jnp.int32),
         count_main=jnp.zeros(E, jnp.int32),
         info=jnp.ones(E, jnp.int32),
-        done=jnp.zeros(E, bool),
+        done=(jnp.zeros(E, bool) if skip is None
+              else jnp.asarray(skip, bool)),
         n_alloc=jnp.ones(E, jnp.int32),
         dw_anom=jnp.zeros(E, jnp.int32),
         it=jnp.zeros((), jnp.int32),
