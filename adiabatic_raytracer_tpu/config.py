@@ -257,9 +257,13 @@ class NumericsConfig:
     tree_engine: str = static_field("queue")
     # In-kernel finals capacity per event (output-block slots).  Finals are
     # bounded by num_cutoff per the reference's per-node check, so any value
-    # >= num_cutoff means no host replays ever happen; smaller values trade
-    # VMEM + per-record write cost against the (rare) replay.
-    tree_kernel_finals: int = static_field(8)
+    # >= num_cutoff (the effective NF is min of the two) means overflow is
+    # impossible and the host-replay pass is dropped AT TRACE TIME — the
+    # fast path.  Smaller values trade VMEM + per-record write cost against
+    # the replay pass, whose per-iteration glue scales with the full batch
+    # (measured ~2 s for 39 replayed events of a 2048 deep batch — avoid).
+    # 64 covers both the default (5) and production (50) cutoff sets.
+    tree_kernel_finals: int = static_field(64)
     # Per-launch iteration budget of the in-kernel tree engine.  0 = one
     # launch runs every tree to completion (tile lockstep spans the whole
     # batch tail); > 0 relaunches in bounded slices with all-done tiles

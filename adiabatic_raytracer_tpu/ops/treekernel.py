@@ -81,12 +81,12 @@ from adiabatic_raytracer_tpu.ops.megakernel import (
 A_LNT, A_LNTLO, A_DT, A_STEPS, A_LNTCK, A_ISPH, A_DONE, A_INFO = range(8)
 A_COUNT, A_CMAIN, A_TOTP, A_ANOM, A_NALLOC = range(8, 13)
 A_WCUR, A_PROB, A_PCONV, A_PCONV0, A_TB, A_DW, A_ORD = range(13, 20)
-A_X0X, A_X0Y, A_X0Z, A_ITERS, A_ERG, A_LNT1 = range(20, 26)
+A_X0X, A_X0Y, A_X0Z, A_ITERS, A_ERG, A_LNT1, A_STEPTOT = range(20, 27)
 AUX_ROWS = 32
 # regs scratch [T, 24, L] (the aux fields touched only at segment ends)
 R_COUNT, R_CMAIN, R_TOTP, R_ANOM, R_NALLOC, R_INFO = range(6)
 R_WCUR, R_PROB, R_PCONV, R_PCONV0, R_TB, R_DW, R_ORD = range(6, 13)
-R_X0X, R_X0Y, R_X0Z = range(13, 16)
+R_X0X, R_X0Y, R_X0Z, R_STEPTOT = range(13, 17)
 REG_ROWS = 24
 # queue slot rows (16 per slot): u(7), lnt, is_ph, weight, prob, pconv,
 # pconv0, dw, pool_slot, status
@@ -175,7 +175,8 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
         rs_ref[:, R_X0X, :] = aux_ref[:, A_X0X, :]
         rs_ref[:, R_X0Y, :] = aux_ref[:, A_X0Y, :]
         rs_ref[:, R_X0Z, :] = aux_ref[:, A_X0Z, :]
-        for i in range(16, REG_ROWS):
+        rs_ref[:, R_STEPTOT, :] = aux_ref[:, A_STEPTOT, :]
+        for i in range(17, REG_ROWS):
             rs_ref[:, i, :] = zrow
         # finals written-this-launch flags start clear (the relaunch wrapper
         # merges on them)
@@ -362,6 +363,9 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
         f02 = tuple(jnp.where(accept, fn, ff) for fn, ff in zip(f_new, f0))
         g02 = jnp.where(accept, g_new, g0)
         steps2 = steps + jnp.where(active, 1.0, 0.0)
+        # per-event work diagnostic (drives the compaction stage plan)
+        rs_ref[:, R_STEPTOT, :] = (rs_ref[:, R_STEPTOT, :]
+                                   + jnp.where(active, 1.0, 0.0))
 
         # --- segment-end flags ---
         ns_hit = accept & (is_ph > 0.5) & (u2[0] < C.r_ns * 1.01) & ~rec
@@ -666,7 +670,8 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
         auxout_ref[:, A_ITERS, :] = jnp.zeros_like(lnt) + it.astype(jnp.float32)
         auxout_ref[:, A_ERG, :] = aux_ref[:, A_ERG, :]
         auxout_ref[:, A_LNT1, :] = aux_ref[:, A_LNT1, :]
-        for i in range(26, AUX_ROWS):
+        auxout_ref[:, A_STEPTOT, :] = rs_ref[:, R_STEPTOT, :]
+        for i in range(27, AUX_ROWS):
             auxout_ref[:, i, :] = zrow
         for i in range(QD * 16):
             qout_ref[:, i, :] = qs_ref[:, i, :]
@@ -723,7 +728,8 @@ def _ceil_to(n, m):
 
 
 def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
-                        cfg: NumericsConfig, tcfg: TreeConfig, *, lnt_end):
+                        cfg: NumericsConfig, tcfg: TreeConfig, *, lnt_end,
+                        debug_aux: bool = False):
     """Drop-in for tree.forward_tree on the production (saveMode <= 1)
     contract: runs whole trees in ONE kernel launch per batch, replays the
     rare capacity-overflow events through the host engine (exact — MC draws
@@ -744,6 +750,11 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
     dtype = xpos.dtype
     f32 = jnp.float32
     NF = int(min(max(int(cfg.tree_kernel_finals), 1), tcfg.num_cutoff))
+    # count_main <= num_cutoff per the reference's per-node check, so when
+    # the finals block covers num_cutoff NO event can overflow and the host
+    # replay pass is dropped at trace time (it would otherwise cost pools
+    # allocation + glue scaling with E even when it runs zero iterations)
+    no_replay = NF >= tcfg.num_cutoff
     QD = int(tcfg.mc_nodes + 2)
     UU = _ceil_to(tcfg.max_nodes + 1, 8)
     Bp = _ceil_to(E, 128)
@@ -812,29 +823,61 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
         _, auxout, _, fin = tree_kernel_launch(
             uin, aux, uni, qin, sc, cfg, tcfg, nf=NF, qd=QD, it_cap=it_full)
     else:
-        # bounded relaunches: all-done tiles skip via the kernel's tile_run
-        # gate; a lane's state (incl. queue + registers) round-trips through
-        # the aux/queue blocks, finals merge on their written flags
-        fin0 = jnp.zeros((Bp, NF * 16), f32)
-
-        def cond(s):
-            return jnp.any(s[1][:, A_DONE] < 0.5)
-
-        def step(s):
-            uin_s, aux_s, qin_s, fin_s = s
-            act = aux_s[:, A_DONE] < 0.5
+        # Bounded relaunches with STAGED STRAGGLER COMPACTION (the
+        # integrate_mega_chunked pyramid): a 128-event tile runs until its
+        # slowest EVENT's whole tree finishes (measured lockstep occupancy
+        # 0.184 at the deep production batch), so each stage relaunches in
+        # chunk-iteration slices until the active population fits the next
+        # (4x smaller) buffer, then sorts actives-first and slices.  A
+        # lane's full state — integrator, registers, pending-node queue —
+        # round-trips through the aux/queue blocks; finals accumulate on
+        # their per-launch written flags; uniforms ride the permutation.
+        def launch(st, it_cap):
+            act = st["aux"][:, A_DONE] < 0.5
             uo, ao, qo, f = tree_kernel_launch(
-                uin_s, aux_s, uni, qin_s, sc, cfg, tcfg,
-                nf=NF, qd=QD, it_cap=chunk)
+                st["uin"], st["aux"], st["uni"], st["qin"], sc, cfg, tcfg,
+                nf=NF, qd=QD, it_cap=it_cap)
             m = lambda new, old: jnp.where(act[:, None], new, old)
-            fr = f.reshape(Bp, NF, 16)
+            B_ = st["uin"].shape[0]
+            fr = f.reshape(B_, NF, 16)
             took = act[:, None] & (fr[..., F_VALID] > 0.5)
             fin2 = jnp.where(took[..., None], fr,
-                             fin_s.reshape(Bp, NF, 16)).reshape(Bp, NF * 16)
-            return (m(uo, uin_s), m(ao, aux_s), m(qo, qin_s), fin2)
+                             st["fin"].reshape(B_, NF, 16)).reshape(B_, -1)
+            return dict(idx=st["idx"], uni=st["uni"], uin=m(uo, st["uin"]),
+                        aux=m(ao, st["aux"]), qin=m(qo, st["qin"]), fin=fin2)
 
-        _, auxout, _, fin = lax.while_loop(cond, step,
-                                           (uin, aux, qin, fin0))
+        st = dict(idx=jnp.arange(Bp, dtype=jnp.int32), uin=uin, aux=aux,
+                  qin=qin, uni=uni, fin=jnp.zeros((Bp, NF * 16), f32))
+        acc_aux = aux
+        acc_fin = st["fin"]
+
+        floor = max(min(512, Bp), 128)
+        sizes = []
+        n = Bp
+        while n > floor:
+            n = max(((n // 4) // 128) * 128, floor)
+            sizes.append(n)
+
+        it_cap = chunk
+        for target in sizes:
+            def stage_cond(s, t=target):
+                alive = s["aux"][:, A_DONE] < 0.5
+                return jnp.any(alive) & (jnp.sum(alive) > t)
+
+            st = lax.while_loop(stage_cond,
+                                functools.partial(launch, it_cap=it_cap), st)
+            idx = st["idx"]
+            acc_aux = acc_aux.at[idx].set(st["aux"])
+            acc_fin = acc_fin.at[idx].set(st["fin"])
+            order = jnp.argsort(st["aux"][:, A_DONE], stable=True)
+            st = {k: v[order][:target] for k, v in st.items()}
+            it_cap = min(it_cap * 4, it_full)
+
+        st = lax.while_loop(lambda s: jnp.any(s["aux"][:, A_DONE] < 0.5),
+                            functools.partial(launch, it_cap=it_cap), st)
+        acc_aux = acc_aux.at[st["idx"]].set(st["aux"])
+        acc_fin = acc_fin.at[st["idx"]].set(st["fin"])
+        auxout, fin = acc_aux, acc_fin
 
     auxout = auxout[:E]
     fin = fin[:E].reshape(E, NF, 16)
@@ -842,10 +885,12 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
     incomplete = info_k == INFO_OVERFLOW
     complete = ~incomplete
 
-    # --- host replay of overflow events (exact; usually zero iterations) ---
-    fb_cfg = dataclasses.replace(cfg, tree_engine="queue", tree_window=0)
-    tr_fb = forward_tree(keys, xpos, k_init, erg_inf, sc, fb_cfg, tcfg,
-                         lnt_end=lnt_end, skip=complete)
+    # --- host replay of overflow events (exact; impossible when the finals
+    # block covers num_cutoff — then dropped at trace time entirely) ---
+    if not no_replay:
+        fb_cfg = dataclasses.replace(cfg, tree_engine="queue", tree_window=0)
+        tr_fb = forward_tree(keys, xpos, k_init, erg_inf, sc, fb_cfg, tcfg,
+                             lnt_end=lnt_end, skip=complete)
 
     # --- synthesize the finals-only pools and concat with the replay ---
     NS = cfg.n_save
@@ -877,26 +922,33 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
         has_cross=jnp.zeros((E, NF), bool),
         order=jnp.where(ok, fin[..., F_ORD], 0).astype(jnp.int32),
     )
-    pools = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
-                         synth, tr_fb.pools)
-
     count_k = auxout[:, A_COUNT].astype(jnp.int32)
     info_i = auxout[:, A_INFO].astype(jnp.int32)
     info_i = jnp.where(count_k > tcfg.mc_nodes, -jnp.abs(info_i), info_i)
-    sel = lambda a_k, a_fb: jnp.where(incomplete, a_fb, a_k)
     iters_k = auxout[:, A_ITERS].astype(jnp.int32)
+    if debug_aux:
+        return auxout
+    if no_replay:
+        sel = lambda a_k, a_fb: a_k
+        pools = synth
+    else:
+        sel = lambda a_k, a_fb: jnp.where(incomplete, a_fb, a_k)
+        pools = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
+                             synth, tr_fb.pools)
+    fb = tr_fb if not no_replay else TreeResult(
+        pools=None, count=0, count_main=0, info=0, tot_prob=0., n_alloc=0,
+        dw_anomalies=0, n_iters=0, done_it=0)
     return TreeResult(
         pools=pools,
-        count=sel(count_k, tr_fb.count),
-        count_main=sel(auxout[:, A_CMAIN].astype(jnp.int32),
-                       tr_fb.count_main),
-        info=sel(info_i, tr_fb.info),
-        tot_prob=sel(auxout[:, A_TOTP].astype(dtype), tr_fb.tot_prob),
-        n_alloc=sel(auxout[:, A_NALLOC].astype(jnp.int32), tr_fb.n_alloc),
+        count=sel(count_k, fb.count),
+        count_main=sel(auxout[:, A_CMAIN].astype(jnp.int32), fb.count_main),
+        info=sel(info_i, fb.info),
+        tot_prob=sel(auxout[:, A_TOTP].astype(dtype), fb.tot_prob),
+        n_alloc=sel(auxout[:, A_NALLOC].astype(jnp.int32), fb.n_alloc),
         dw_anomalies=sel(auxout[:, A_ANOM].astype(jnp.int32),
-                         tr_fb.dw_anomalies),
+                         fb.dw_anomalies),
         # diagnostics: the kernel has no host iterations — report the
         # in-kernel step count (the tile's while-loop trip count)
-        n_iters=sel(iters_k, tr_fb.n_iters),
-        done_it=sel(iters_k, tr_fb.done_it),
+        n_iters=sel(iters_k, fb.n_iters),
+        done_it=sel(iters_k, fb.done_it),
     )

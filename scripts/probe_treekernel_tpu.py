@@ -8,7 +8,10 @@ Knobs: S (default 2048), DEEP (default 1), CHUNKS (comma list of
 tree_kernel_chunk values to test, default "0,256").
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import numpy as np
 import jax
