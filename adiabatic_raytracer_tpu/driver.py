@@ -207,7 +207,7 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
         pack_dtype = jnp.float32 if cfg.compute_dtype == "f32" else d
         fin_pack = tree.compact_finals_global(
             tr.pools, cfg.finals_cap_per_event * xpos.shape[0],
-            out_dtype=pack_dtype)
+            out_dtype=pack_dtype, order_stride=2 * tcfg.max_nodes + 4)
         ev_pack = jnp.concatenate([
             sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
             one(tr.dw_anomalies), bt.samp_back_weight[:, None],

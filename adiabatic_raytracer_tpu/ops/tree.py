@@ -1050,7 +1050,8 @@ def compact_finals(pools: TreePools, F: int):
     ], axis=-1)
 
 
-def compact_finals_global(pools: TreePools, cap: int, out_dtype=None):
+def compact_finals_global(pools: TreePools, cap: int, out_dtype=None,
+                          order_stride: int = 0):
     """Batch-GLOBAL compaction of the final nodes into one dense
     [cap+1, 14] pack: per row
       [event, is_photon, ferg, weight, prob, prob_conv, prob_conv0, t,
@@ -1067,13 +1068,17 @@ def compact_finals_global(pools: TreePools, cap: int, out_dtype=None):
     dtype on the CPU/golden path."""
     d = out_dtype or pools.pos.dtype
     E, P = pools.pos.shape[:2]
-    assert E * P < (1 << 24), "sort key exceeds f32 exact-integer range"
+    # (event, order)-ascending selection: e*S + order is unique and exact
+    # in f32 below 2^24 as long as the stride S exceeds every order.  The
+    # work-queue engine's pools have P = 2*max_nodes+4 > order by
+    # construction; the in-kernel tree engine's finals-only pools have
+    # P = NF (possibly < order), so its caller passes the stride explicitly.
+    S = max(int(order_stride), P)
+    assert E * S < (1 << 24), "sort key exceeds f32 exact-integer range"
     final = (pools.status == 2) & pools.is_final
-    # (event, order)-ascending selection: order <= max_nodes+1 < P, so
-    # e*P + order is unique and exact in f32 below 2^24
     gkey = jnp.where(
         final,
-        -(jnp.arange(E)[:, None] * P + pools.order).astype(jnp.float32),
+        -(jnp.arange(E)[:, None] * S + pools.order).astype(jnp.float32),
         -jnp.inf)
     top, idx = lax.top_k(gkey.reshape(E * P), cap)
     valid = jnp.isfinite(top)

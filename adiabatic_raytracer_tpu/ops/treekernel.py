@@ -505,8 +505,21 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
             # --- per-node cutoffs, the reference's order.  Overflow takes
             # PRECEDENCE: an unrecordable final invalidates the kernel
             # result for this event whatever else fired on the same node —
-            # the host replay recomputes everything, including the cutoff
-            hit2 = seg_end & (totp2 >= 1.0 - T.prob_cutoff)
+            # the host replay recomputes everything, including the cutoff.
+            #
+            # prob_cutoff check: the host compares tot_prob >= 1 - 1e-10 in
+            # f64; in f32 that bound is unrepresentable (ulp(1.0) = 6e-8),
+            # so compare the PENDING-WEIGHT SUM instead — mathematically
+            # identical (weights are conserved: 1 - tot_prob == the pending
+            # sum) and f32-robust, because near the cutoff the pending
+            # weights are tiny and their sum is absolutely accurate.
+            pend_w = zrow
+            for s in range(QD):
+                base = 16 * s
+                pend_w = pend_w + jnp.where(
+                    qs_ref[:, base + Q_ST, :] > 0.5,
+                    qs_ref[:, base + Q_W, :], 0.0)
+            hit2 = seg_end & (pend_w <= T.prob_cutoff)
             hit3 = seg_end & (cmain2 >= T.num_cutoff - 0.5)
             hit4 = seg_end & (count > T.max_nodes + 0.5)
             info2 = jnp.where(overflow, INFO_OVERFLOW, info)

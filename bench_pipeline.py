@@ -73,7 +73,7 @@ def main():
                          tree_kernel_chunk=int(
                              os.environ.get("BENCH_TK_CHUNK", "0")),
                          tree_kernel_finals=int(
-                             os.environ.get("BENCH_TK_FINALS", "8")),
+                             os.environ.get("BENCH_TK_FINALS", "64")),
                          backtrace_chunk=int(os.environ.get("BENCH_BT_CHUNK", "0")),
                          # kernel-cost attribution knob (see bench.py)
                          **({"interp_coarse": int(os.environ["BENCH_COARSE"])}
