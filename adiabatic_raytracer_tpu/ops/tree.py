@@ -1080,7 +1080,13 @@ def compact_finals_global(pools: TreePools, cap: int, out_dtype=None,
         final,
         -(jnp.arange(E)[:, None] * S + pools.order).astype(jnp.float32),
         -jnp.inf)
-    top, idx = lax.top_k(gkey.reshape(E * P), cap)
+    # finals-only pools (the in-kernel tree engine) can hold fewer slots
+    # than the requested cap — take what exists and pad the pack
+    k = min(cap, E * P)
+    top, idx = lax.top_k(gkey.reshape(E * P), k)
+    if k < cap:
+        top = jnp.concatenate([top, jnp.full(cap - k, -jnp.inf, top.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros(cap - k, idx.dtype)])
     valid = jnp.isfinite(top)
     e_idx = idx // P
 
