@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "iteration; finished events refill from the batch); "
                         "-1 = auto (128 when event_batch > 128 on any "
                         "device), 0 = off")
+    p.add_argument("--tree_engine", choices=["auto", "queue", "kernel"],
+                   default="auto",
+                   help="forward-tree engine; auto = in-kernel whole-tree "
+                        "Pallas engine (ops/treekernel.py) on the mega "
+                        "engine at saveMode<=1, host work-queue otherwise")
+    p.add_argument("--tree_kernel_chunk", type=int, default=128,
+                   help="per-launch iteration budget of the in-kernel tree "
+                        "engine's staged straggler compaction; 0 = one "
+                        "launch per batch (no compaction)")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
@@ -149,8 +158,21 @@ def main(argv=None) -> int:
         # 128: 7426, 256: 7169, 512: 5749 — outputs are bitwise identical
         # across windows at fixed K, so this is schedule-only tuning.
         args.tree_window = 128 if args.event_batch > 128 else 0
+    if args.tree_engine == "auto":
+        # in-kernel tree engine (ops/treekernel.py): whole trees inside one
+        # Pallas launch with staged straggler compaction — the TPU
+        # production default for the saveMode<=1 contract (16k-event v5e:
+        # deep 11848 vs 6985 ev/s, default cutoffs 11205 vs 8215).
+        # saveMode>=2 needs every node's records -> host queue engine;
+        # non-mega / non-can_prob scenes fall back inside forward_tree.
+        tree_engine = ("kernel" if engine == "mega" and args.saveMode <= 1
+                       else "queue")
+    else:
+        tree_engine = args.tree_engine
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
-                         engine=engine, tree_window=args.tree_window)
+                         engine=engine, tree_window=args.tree_window,
+                         tree_engine=tree_engine,
+                         tree_kernel_chunk=args.tree_kernel_chunk)
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
                       mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
 

@@ -336,6 +336,16 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
 
     Returns None when the conversion surface lies inside the star
     (MainRunner.jl:389-396)."""
+    if cfg.tree_engine == "kernel" and (
+            save_mode > 1 or (mesh_devices or 0) > 1):
+        # tree dumps need every node's records (the in-kernel engine keeps
+        # only the finals — the saveMode<=1 contract), and the kernel
+        # engine under a device mesh is not yet validated (the CPU-interpret
+        # dryrun cannot run Pallas inside shard_map; single-chip hardware
+        # cannot exercise it) — use the host queue engine for both
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, tree_engine="queue")
     t_run0 = time.time()
     stats = RunStats()
     if seed < 0:

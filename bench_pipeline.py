@@ -65,13 +65,15 @@ def main():
                          tree_k=int(os.environ.get("BENCH_TREE_K", "0")),
                          tree_queue_width=int(os.environ.get("BENCH_TREE_W", "0")),
                          tree_window=tree_window,
-                         # forward-tree engine A/B: "queue" (host work-queue)
-                         # vs "kernel" (whole trees inside one Pallas launch,
-                         # ops/treekernel.py)
-                         tree_engine=os.environ.get("BENCH_TREE_ENGINE",
-                                                    "queue"),
+                         # forward-tree engine A/B: "kernel" (whole trees
+                         # inside one Pallas launch, ops/treekernel.py — the
+                         # TPU production default) vs "queue" (host
+                         # work-queue engine)
+                         tree_engine=os.environ.get(
+                             "BENCH_TREE_ENGINE",
+                             "queue" if platform == "cpu" else "kernel"),
                          tree_kernel_chunk=int(
-                             os.environ.get("BENCH_TK_CHUNK", "0")),
+                             os.environ.get("BENCH_TK_CHUNK", "128")),
                          tree_kernel_finals=int(
                              os.environ.get("BENCH_TK_FINALS", "64")),
                          backtrace_chunk=int(os.environ.get("BENCH_BT_CHUNK", "0")),
