@@ -196,24 +196,29 @@ def _build_pipeline(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, maxR,
                                             sc, cfg)
         tr = tree.forward_tree(keys, xpos, k_init, erg_inf, sc, cfg, tcfg,
                                lnt_end=lnt_end)
-        # pack everything the saveMode<=1 row assembly needs into two arrays
-        # so the host does TWO device fetches per batch, not ~45 (each fetch
-        # is a network round trip on a tunneled TPU); the final nodes are
-        # compacted GLOBALLY on device ([cap+1, 15] instead of the worst-case
+        # pack everything the saveMode<=1 row assembly needs into ONE array
+        # so the host does ONE device fetch per batch, not ~45 (each fetch
+        # is a ~30-80 ms network round trip on a tunneled TPU REGARDLESS of
+        # size, so even two fetches cost double); the final nodes are
+        # compacted GLOBALLY on device ([cap+1, 14] instead of the worst-case
         # per-event [E, F, 14] — ~25x fewer bytes at production cutoffs),
-        # in f32 on the f32-physics path (the link runs ~15 MB/s)
+        # in f32 on the f32-physics path (the link runs ~15 MB/s), with the
+        # 12 per-event columns appended below the finals pack (padded to 14)
         d = xpos.dtype
-        one = lambda a: a.astype(d)[..., None]
         pack_dtype = jnp.float32 if cfg.compute_dtype == "f32" else d
+        one = lambda a: a.astype(pack_dtype)[..., None]
         fin_pack = tree.compact_finals_global(
             tr.pools, cfg.finals_cap_per_event * xpos.shape[0],
             out_dtype=pack_dtype, order_stride=2 * tcfg.max_nodes + 4)
         ev_pack = jnp.concatenate([
-            sln_prob[:, None], cos_w[:, None], one(tr.count), one(tr.info),
-            one(tr.dw_anomalies), bt.samp_back_weight[:, None],
-            bt.prob0[:, None], one(bt.c_bck), k_init,
-            one(tr.n_iters)], axis=1)  # [E, 12]
-        return fin_pack, ev_pack, bt, tr
+            sln_prob.astype(pack_dtype)[:, None],
+            cos_w.astype(pack_dtype)[:, None], one(tr.count), one(tr.info),
+            one(tr.dw_anomalies), bt.samp_back_weight.astype(pack_dtype)[:, None],
+            bt.prob0.astype(pack_dtype)[:, None], one(bt.c_bck),
+            k_init.astype(pack_dtype), one(tr.n_iters),
+            jnp.zeros((xpos.shape[0], 2), pack_dtype)], axis=1)  # [E, 14]
+        combo = jnp.concatenate([fin_pack, ev_pack], axis=0)
+        return combo, bt, tr
 
     if mesh_devices > 1:
         from adiabatic_raytracer_tpu.parallel.mesh import make_mesh, shard_over_events
@@ -430,8 +435,13 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         key, bkey = jax.random.split(key)
         sb = 1 << max(int(event_batch / max(succ_rate, 0.02) * 1.5) - 1,
                       7).bit_length()
-        return {"bkey": bkey, "sb": sb,
-                "handle": sample_jit(jax.random.fold_in(bkey, 0), sb)}
+        handle = sample_jit(jax.random.fold_in(bkey, 0), sb)
+        # enqueue the device->host copy behind the sampler compute: by
+        # sample_collect time the pack has already crossed the tunnel
+        # (measured on axon: np.asarray after copy_to_host_async ~0.2 ms
+        # vs ~35 ms for a cold fetch — the round trip IS the cost)
+        handle.copy_to_host_async()
+        return {"bkey": bkey, "sb": sb, "handle": handle}
 
     def sample_collect(s, batch):
         """Fetch the primary chunk; top up synchronously on shortfall."""
@@ -497,6 +507,11 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         handles = pipeline_jit(
             keys, jnp.asarray(pad(xpos)), jnp.asarray(pad(v_loc)),
             jnp.asarray(pad(erg_inf)))
+        # NOTE: do NOT copy_to_host_async the result pack here — measured
+        # on axon it serializes the device stream behind the transfer
+        # (deep pipeline 11.2k -> 7.1k ev/s); the sync fetch in assemble()
+        # overlaps the next batch's compute instead.  The tiny sampler pack
+        # prefetch (sample_dispatch) is the one async copy that wins.
         rec = {
             "batch": batch, "event_no": issue_event_no, "handles": handles,
             "xpos": xpos, "v_ifty": v_ifty, "attempts": attempts,
@@ -523,36 +538,39 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         stats.f_inx += rec["attempts"] - batch  # failures (MainRunner.jl:469,477)
         stats.t_sample += rec["t_sample"]
 
-        fin_pack, ev_pack, bt, tr = rec["handles"]
-        jax.block_until_ready(fin_pack)
+        combo, bt, tr = rec["handles"]
+        jax.block_until_ready(combo)
         t_f0 = time.time()
         stats.t_pipeline += max(t_f0 - rec["t_dispatch"] - overlap_s, 0.0)
-        fp = np.asarray(fin_pack)          # [(n_sh)*(cap+1), 14], one fetch
-        evp = np.asarray(ev_pack)[:batch]               # [E, 12], one fetch
+        fp = np.asarray(combo)  # [(n_sh)*(cap_l+1+shard_e), 14], ONE fetch
         stats.t_fetch += time.time() - t_f0
         t_batch = max(time.time() - rec["t_dispatch"] - overlap_s, 0.0)
 
         t_r0 = time.time()
-        # decode the global finals pack (tree.compact_finals_global): under
-        # a mesh each shard contributes its own [cap_l+1, 14] block with
-        # LOCAL event indices and a trailer count
+        # decode the combined pack: under a mesh each shard contributes its
+        # own [cap_l+1+shard_e, 14] block — a [cap_l+1, 14] finals pack
+        # (tree.compact_finals_global, LOCAL event indices, trailer count at
+        # row cap_l) followed by shard_e per-event rows (12 cols + 2 pad)
         n_sh = mesh_devices if mesh_devices and mesh_devices > 1 else 1
         bp = ((batch + pad_to - 1) // pad_to) * pad_to
         shard_e = bp // n_sh
         blocks = fp.reshape(n_sh, -1, 14)
-        fins = []
+        cap_l = blocks.shape[1] - 1 - shard_e
+        fins, evs = [], []
         for s in range(n_sh):
             blk = blocks[s]
-            cnt = int(blk[-1, 0])
-            if cnt > blk.shape[0] - 1:
+            cnt = int(blk[cap_l, 0])
+            if cnt > cap_l:
                 raise RuntimeError(
                     f"finals pack overflow: {cnt} finals exceed the "
-                    f"{blk.shape[0] - 1}-row capacity — raise "
+                    f"{cap_l}-row capacity — raise "
                     "NumericsConfig.finals_cap_per_event")
             b = np.array(blk[:cnt], np.float64)  # copy: fp view is read-only
             b[:, 0] += s * shard_e
             fins.append(b)
+            evs.append(blk[cap_l + 1:, :12])
         fin = np.concatenate(fins, axis=0)
+        evp = np.concatenate(evs, axis=0)[:batch]       # [E, 12]
         fin = fin[fin[:, 0] < batch]        # drop mesh-padding duplicates
         # full event weight: the device ships the O(1e2) per-event factor;
         # the ~1e36-1e42 scalar part multiplies in host f64 (see sln_scale).

@@ -12,7 +12,7 @@ derived from the reference's stage count (Vern6, 9 stages x ~8 dual-number
 Hamiltonian evaluations/step) and typical adaptive step counts; the north-star
 target is 100x => vs_baseline = 100).
 
-Environment knobs: BENCH_RAYS (default 1024), BENCH_REPS (default 3),
+Environment knobs: BENCH_RAYS (default 65536), BENCH_REPS (default 3),
 BENCH_SPAN_T (trajectory end time in s, default 0.1), BENCH_INTERP /
 BENCH_COARSE / BENCH_GATE_THETA (event-scan density and gate overrides).
 """
