@@ -12,7 +12,8 @@ derived from the reference's stage count (Vern6, 9 stages x ~8 dual-number
 Hamiltonian evaluations/step) and typical adaptive step counts; the north-star
 target is 100x => vs_baseline = 100).
 
-Environment knobs: BENCH_RAYS (default 65536), BENCH_REPS (default 3),
+Environment knobs: BENCH_RAYS (default 65536 chunked-TPU / 16384 mega /
+1024 CPU — see the clamp note in main), BENCH_REPS (default 3),
 BENCH_SPAN_T (trajectory end time in s, default 0.1), BENCH_INTERP /
 BENCH_COARSE / BENCH_GATE_THETA (event-scan density and gate overrides).
 """
@@ -36,13 +37,31 @@ def main():
     from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
     from adiabatic_raytracer_tpu.ops.propagate import propagate
 
-    B = int(os.environ.get("BENCH_RAYS", "65536"))
+    platform0 = jax.devices()[0].platform
+    engine_req = os.environ.get("BENCH_ENGINE", "")
+    # Default batch: 65536 is only safe for the chunked TPU engine.  A single
+    # unchunked >64k-ray megakernel launch crashes the TPU worker (measured,
+    # CLAUDE.md), and the pool engine on the single-core CPU host would take
+    # ~64x longer — clamp the *default* (explicit BENCH_RAYS is respected,
+    # with a warning at the mega crash boundary).
+    if "BENCH_RAYS" in os.environ:
+        B = int(os.environ["BENCH_RAYS"])
+        if engine_req == "mega" and B > 49152:
+            print(f"# warning: BENCH_RAYS={B} with BENCH_ENGINE=mega is at "
+                  "the measured single-launch TPU-worker crash boundary "
+                  "(>64k rays); use mega_chunked", file=sys.stderr)
+    elif platform0 == "cpu":
+        B = 1024
+    elif engine_req == "mega":
+        B = 16384
+    else:
+        B = 65536
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t_end = float(os.environ.get("BENCH_SPAN_T", "0.1"))
 
     sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
                r_ns=10.0, mass_ns=1.0)
-    platform = jax.devices()[0].platform
+    platform = platform0
     # On TPU: f64 state + f32 physics (see NumericsConfig.compute_dtype) —
     # TPU transcendentals are f32-grade even under emulated f64, and full-f64
     # emulation explodes compile time.  Accuracy vs full f64 is covered by
@@ -84,8 +103,7 @@ def main():
     # integrate_mega_chunked) — default on TPU; "mega" = one unbounded
     # launch (tile-level lockstep only); "pool" = the XLA pool with chunked
     # straggler compaction.
-    engine = os.environ.get(
-        "BENCH_ENGINE",
+    engine = engine_req or (
         "mega_chunked" if platform != "cpu" and B % 128 == 0 else "pool")
 
     if engine in ("mega", "mega_chunked"):
