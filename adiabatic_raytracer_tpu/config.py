@@ -254,6 +254,17 @@ class NumericsConfig:
     # anything else silently falls back to "queue".  Events needing more
     # than tree_kernel_finals final nodes are replayed exactly by the host
     # engine under the same jit.
+    #
+    # saveMode >= 2 DECISION (recorded round 4): the driver downgrades
+    # "kernel" to "queue" permanently rather than hybridizing.  Tree dumps
+    # need every node's trajectory/crossing records (saveNode,
+    # MainRunner.jl:17-65), which the kernel engine deliberately never
+    # materializes — that is the source of its speed (VMEM-resident queue,
+    # finals-only output).  A hybrid (kernel finals + host re-run of dumped
+    # events) would run the host engine on EXACTLY the events being dumped,
+    # i.e. all of them at saveMode 3 — the kernel pass would add cost and
+    # save none.  Device meshes KEEP the kernel engine (the driver's shard
+    # path is collective-free; validated bitwise in tests/test_sharding.py).
     tree_engine: str = static_field("queue")
     # In-kernel finals capacity per event (output-block slots).  Finals are
     # bounded by num_cutoff per the reference's per-node check, so any value

@@ -221,13 +221,23 @@ def conversion_prob(x_sph, ksphere, t, w_erg, sc: Scene, mass_ns, *, flat=False,
     grad_emag = _sdot(g, dmu_e, dmu_e)
     grad_emag_2 = _sdot(g, dmu_e2, dmu_e2)
 
+    # The final P_nonAD line (RayTracer.jl:1465-1468).  GROUPING IS
+    # LOAD-BEARING on the f32 path: XLA's algebraic simplifier reassociates
+    # pure literals together, and written naively ((ax_g * 1e-9 * bmag)**2 /
+    # (... C_KM * HBAR)) it folds (1e-9)^2-scale constants into a factor
+    # below the f32 denormal floor — the compiled scalar program returned
+    # prob == 0 where the eager op-by-op evaluation was correct (measured:
+    # jit f32 0.0 vs eager 2.27e-3; batch >= 2 escaped only because fusion
+    # decisions differ by shape).  All literal constants are pre-folded into
+    # ONE python-f64 factor and the same-scale quantities divide first.
+    ax_coupling = sc.ax_g * bmag                      # ~1e-12 * 1e7..1e13
+    lit = float(jnp.pi) / 2.0 * 1e-18 / (C_KM * HBAR)  # python f64: ~8e-9
     if one_d:
-        prob = jnp.pi / 2.0 * (sc.ax_g * 1e-9 * bmag) ** 2 / (
-            vloc * (jnp.abs(vhat_grad_e) * C_KM * HBAR))
+        prob = lit * ax_coupling * (ax_coupling / (vloc * jnp.abs(vhat_grad_e)))
     else:
         prefactor = w_erg**4 * st**2 / (ct**2 * wp**2 * (wp**2 - 2.0 * w_erg**2) + w_erg**4)
-        prob = jnp.pi / 2.0 * prefactor * (sc.ax_g * 1e-9 * bmag) ** 2 / (
-            jnp.abs(vhat_grad_e) * vloc * C_KM * HBAR)
+        prob = lit * prefactor * ax_coupling * (
+            ax_coupling / (jnp.abs(vhat_grad_e) * vloc))
     return (prob, jnp.abs(vhat_grad_e), cos_w, jnp.sqrt(grad_emag), cos_w_2,
             jnp.sqrt(grad_emag_2))
 

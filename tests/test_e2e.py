@@ -119,3 +119,91 @@ def test_golden_pinned_rows(tmp_path):
         [1.37646785e-03, 1.04814701e-02, 8.54149604e-05, 6.64345269e-05,
          3.15848565e-07, 7.85425213e-04],
         rtol=1e-6)
+
+
+def test_pipeline_depth_two_bit_identical(outputs, tmp_path):
+    """pipeline_depth=2 (the TPU auto: one extra batch in flight so the
+    finals-pack tunnel transfer hides under compute) is schedule-only —
+    rows must be bit-identical to the depth-1 run of the same seed."""
+    d2 = str(tmp_path / "depth2")
+    args = ["--Nts", "3", "--seed", "1769", "--ThetaM", "0.2", "--event_batch",
+            "2", "--platform", "cpu", "--dir_tag", d2, "--saveMode", "0",
+            "--ftag", "sm0", "--pipeline_depth", "2"]
+    assert main(args) == 0
+    r1 = np.load(_npy(outputs, "sm0"))
+    r2 = np.load(_npy(d2, "sm0"))
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_flux_branch_histograms(outputs):
+    """The sub-branch-count figures (plot/flux.py:54-82): pps-weighted
+    per-species histograms of column 20 `c` plus the per-tree counts."""
+    r = flux.analyze(_npy(outputs, "sm3"))
+    rows = np.load(_npy(outputs, "sm3"))
+    c = np.abs(rows[:, 20].astype(int))
+    assert r.branch_bins is not None
+    np.testing.assert_array_equal(r.branch_bins, np.arange(0, max(c.max(), 2)))
+    assert r.branch_photon_hist.shape == (len(r.branch_bins) - 1,)
+    # per-species weighted totals reconcile with the raw rows
+    pps = rows[:, 8] * rows[:, 7]
+    pid = rows[:, 1].astype(int)
+    in_range = c < r.branch_bins[-1]
+    np.testing.assert_allclose(r.branch_photon_hist.sum(),
+                               pps[(pid == 1) & in_range].sum(), rtol=1e-12)
+    np.testing.assert_allclose(r.branch_axion_hist.sum(),
+                               pps[(pid == 0) & in_range].sum(), rtol=1e-12)
+    # one per-tree entry per event (the reference double-counts via its
+    # first+last-row trick; ours is exact)
+    ev = rows[:, 0].astype(int)
+    n_ev_in_range = sum(1 for e in np.unique(ev)
+                        if c[ev == e][0] < r.branch_bins[-1])
+    assert r.tree_branch_hist.sum() == n_ev_in_range
+    # saveMode-0 output has no `c` column: fields stay None
+    r0 = flux.analyze(_npy(outputs, "sm0"))
+    assert r0.branch_bins is None and r0.tree_branch_hist is None
+
+
+def test_tree_visualizers(outputs, tmp_path):
+    """All three tree views (plotTree.py / plotTree_2.py / plotSingle.py
+    equivalents) render the saveMode-3 tree file headlessly and return the
+    parsed nodes."""
+    from adiabatic_raytracer_tpu.analysis import tree_plot
+
+    p = os.path.join(outputs, "tree", "tree_sm31")
+    for fn, name in [(tree_plot.plot_tree, "v1"),
+                     (tree_plot.plot_tree_publication, "v2"),
+                     (tree_plot.plot_tree_single, "v3")]:
+        out = str(tmp_path / f"{name}.png")
+        nodes = fn(p, show=False, save=out)
+        assert len(nodes) >= 2
+        assert os.path.getsize(out) > 0
+
+
+def test_savemode3_downgrades_kernel_engine(tmp_path):
+    """Recorded decision (NumericsConfig.tree_engine docstring): saveMode >= 2
+    forces the host queue engine — tree dumps need every node's records,
+    which the in-kernel engine never materializes, and a hybrid would re-run
+    the host engine on exactly the dumped events.  A tree_engine='kernel'
+    request at saveMode 3 must therefore run green, write parseable tree
+    files, and produce the queue engine's exact rows."""
+    import glob
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene, TreeConfig
+    from adiabatic_raytracer_tpu.driver import run
+
+    sc = Scene(theta_m=0.2)
+    tcfg = TreeConfig(num_cutoff=3, mc_nodes=2, max_nodes=8)
+    rows = {}
+    for eng in ("kernel", "queue"):
+        cfg = NumericsConfig(interp_points=8, max_crossings=8,
+                             tree_engine=eng)
+        d = str(tmp_path / eng)
+        for sub in ("npy", "event", "tree"):
+            os.makedirs(os.path.join(d, sub), exist_ok=True)
+        out = run(sc, cfg, tcfg, 3, seed=4242, save_mode=3, verbose=False,
+                  dir_tag=d, file_tag=eng, event_batch=2)
+        assert out is not None
+        rows[eng] = out[0]
+        nodes = treeio.load_tree(glob.glob(os.path.join(d, "tree", "*1"))[0])
+        assert len(nodes) >= 2
+    np.testing.assert_array_equal(rows["kernel"], rows["queue"])
