@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the event pipeline over an N-device mesh "
                         "(0/1 = single device); the on-device equivalent of "
                         "the reference's N-process fan-out")
+    p.add_argument("--pipeline_depth", type=int, default=0,
+                   help="dispatched-but-unassembled batches kept in flight; "
+                        "0 = auto (2 on an accelerator at saveMode<=1 so the "
+                        "finals pack's tunnel transfer hides under the next "
+                        "batch's compute, 1 otherwise); results are "
+                        "bit-identical across depths")
     p.add_argument("--checkpoint", action="store_true",
                    help="write a per-batch resume state (RNG key + event "
                         "counter + partial rows) next to the output npy")
@@ -186,7 +192,8 @@ def main(argv=None) -> int:
             file_tag=args.ftag, dir_tag=args.dir_tag,
             event_batch=args.event_batch, mesh_devices=args.mesh,
             checkpoint=args.checkpoint, resume=args.resume,
-            profile_dir=args.profile_dir)
+            profile_dir=args.profile_dir,
+            pipeline_depth=args.pipeline_depth)
 
     if args.run_Combine == 1:
         out = combine_files(args.dir_tag, args.MassA, args.Axg, args.ThetaM,

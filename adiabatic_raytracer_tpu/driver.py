@@ -321,7 +321,8 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         verbose: bool = True, mesh_devices: int = 0,
         checkpoint: bool = False, resume: bool = False,
         max_batches: Optional[int] = None,
-        profile_dir: Optional[str] = None) -> Optional[tuple]:
+        profile_dir: Optional[str] = None,
+        pipeline_depth: int = 0) -> Optional[tuple]:
     """Run the full pipeline; returns (saveAll rows ndarray, output path, stats).
 
     mesh_devices > 1 shards the jitted pipeline (kinematics -> backtrace ->
@@ -339,15 +340,28 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     only written on completion).  profile_dir enables a jax.profiler trace of
     the run (the reference's wall-clock instrumentation, upgraded).
 
+    pipeline_depth: number of dispatched-but-unassembled batches kept in
+    flight (0 = auto: 2 on an accelerator at saveMode <= 1, else 1).  Depth 2
+    gives each batch a FULL extra batch of device time between dispatch and
+    collection, so its finals pack crosses the tunnel via copy_to_host_async
+    while the host samples/dispatches — measured on axon the device serves
+    transfers concurrently with compute (scripts/probe_fetch2.py), and the
+    round-3 t_fetch (~35% of pipeline wall, VERDICT r3) was the HOST blocked
+    in np.asarray, not the device.  Results are bit-identical to depth 1 —
+    only the host<->device schedule changes.
+
     Returns None when the conversion surface lies inside the star
     (MainRunner.jl:389-396)."""
-    if cfg.tree_engine == "kernel" and (
-            save_mode > 1 or (mesh_devices or 0) > 1):
+    if cfg.tree_engine == "kernel" and save_mode > 1:
         # tree dumps need every node's records (the in-kernel engine keeps
-        # only the finals — the saveMode<=1 contract), and the kernel
-        # engine under a device mesh is not yet validated (the CPU-interpret
-        # dryrun cannot run Pallas inside shard_map; single-chip hardware
-        # cannot exercise it) — use the host queue engine for both
+        # only the finals — the saveMode<=1 contract): host queue engine.
+        # A device mesh, by contrast, KEEPS the kernel engine: the driver's
+        # shard path (parallel.mesh.shard_over_events) is collective-free,
+        # and shard_map(forward_tree_kernel) is validated bitwise against
+        # the single-device kernel run (tests/test_sharding.py::
+        # test_kernel_engine_under_shard_map; round-3's blocker was the
+        # psum rendezvous of event_pipeline_sharded, which the driver
+        # pipeline does not contain)
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, tree_engine="queue")
@@ -706,9 +720,19 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
             _write_checkpoint(out_path, ck_key, ck_rate, event_no, remaining,
                               stats, rows)
 
-    pending = None
+    from collections import deque
+
+    depth = int(pipeline_depth)
+    if depth <= 0:
+        # auto: 2 on an accelerator at saveMode <= 1 (the pack's tunnel
+        # transfer hides under the extra in-flight batch); the saveMode >= 2
+        # text writers fetch whole pools per batch (cold path), keep depth 1
+        depth = 2 if (save_mode <= 1
+                      and jax.devices()[0].platform != "cpu") else 1
+    depth = max(depth, 1)
+    inflight: deque = deque()
     samp_next = sample_dispatch() if issue_remaining > 0 else None
-    while issue_remaining > 0 or pending is not None:
+    while issue_remaining > 0 or inflight:
         nxt = None
         if issue_remaining > 0 and (max_batches is None
                                     or batches_issued < max_batches):
@@ -723,16 +747,27 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
                 nxt = issue_batch(samp, batch, attempts, t_sample, rng_snap)
             except Exception:
                 # a sampling failure must not drop the already-computed
-                # in-flight batch: assemble (and checkpoint) it first so a
-                # resume recomputes nothing
-                if pending is not None:
-                    assemble(pending)
-                    pending = None
+                # in-flight batches: assemble (and checkpoint) them first so
+                # a resume recomputes nothing
+                while inflight:
+                    assemble(inflight.popleft())
                 raise
-        if pending is not None:
-            assemble(pending, overlap_s=nxt["t_sample"] if nxt else 0.0)
-        pending = nxt
-        if pending is None and issue_remaining > 0:  # max_batches early stop
+        if nxt is not None:
+            inflight.append(nxt)
+            if len(inflight) >= 2:
+                # the age-1 batch has had a full iteration of device time —
+                # its compute is (nearly) done, so start its pack's tunnel
+                # transfer now: axon serves transfers WHILE compute runs
+                # (scripts/probe_fetch2.py), and assemble()'s np.asarray then
+                # collects a finished copy instead of blocking the host
+                # ~50 ms per batch.  (An async copy at DISPATCH time is the
+                # measured round-3 regression — the transfer of a
+                # still-computing pack stalls the stream; age 1 is past it.)
+                inflight[-2]["handles"][0].copy_to_host_async()
+        while len(inflight) > depth or (nxt is None and inflight):
+            assemble(inflight.popleft(),
+                     overlap_s=nxt["t_sample"] if nxt else 0.0)
+        if nxt is None and issue_remaining > 0:  # max_batches early stop
             if verbose:
                 print(f"Stopping after {batches_done} batches "
                       f"({remaining} events remaining; checkpoint "

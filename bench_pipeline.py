@@ -90,15 +90,19 @@ def main():
     # batches must all have the same shape or the pipeline recompiles
     n_events = ((n_events + event_batch - 1) // event_batch) * event_batch
 
+    depth = int(os.environ.get("BENCH_DEPTH", "0"))  # 0 = driver auto
+
     tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
     try:
         # warmup: compile sampler + pipeline at the production batch shape
         run(sc, cfg, tcfg, 1 + event_batch, seed=seed, save_mode=0,
-            dir_tag=tmp, event_batch=event_batch, verbose=False)
+            dir_tag=tmp, event_batch=event_batch, verbose=False,
+            pipeline_depth=depth)
 
         t0 = time.perf_counter()
         out = run(sc, cfg, tcfg, 1 + n_events, seed=seed, save_mode=0,
-                  dir_tag=tmp, event_batch=event_batch, verbose=False)
+                  dir_tag=tmp, event_batch=event_batch, verbose=False,
+                  pipeline_depth=depth)
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -127,6 +131,7 @@ def main():
         "t_rows": round(stats.t_rows, 3),
         "engine": engine,
         "compute_dtype": compute_dtype,
+        "pipeline_depth": depth,
         "platform": platform,
     }))
 
