@@ -96,12 +96,31 @@ def main():
                 if f.startswith(".ckpt_")]
     assert not leftover, leftover
 
+    # kernel-vs-host census drift gate (VERDICT r3 item 5): compares the
+    # committed CENSUS_r04.json snapshot; fails the soak beyond the accepted
+    # draw-flip equivalence class
+    census_ok = None
+    snap = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                        "CENSUS_r04.json")
+    if os.path.exists(snap):
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "census_kernel_host.py"), "--check"],
+            capture_output=True, text=True)
+        census_ok = p.returncode == 0
+        if not census_ok:
+            print(p.stdout[-2000:])
+            print(p.stderr[-2000:])
+            raise SystemExit("census drift (see CENSUS_r04.json)")
+
     print(json.dumps({
         "metric": "soak_tpu",
         "nts_per_shard": NTS,
         "rows_merged": int(d.shape[0]),
         "events_seen": int(np.unique(ev).size),
         "wall_s": round(time.time() - t0, 1),
+        "census_ok": census_ok,
         "ok": True,
     }))
 
