@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -179,6 +180,13 @@ class SceneConsts:
                               24 - int(math.log2(max(cfg.interp_points, 1)))))
         self.stall_window = int(cfg.stall_window)
         self.stall_min = float(cfg.stall_min_progress)
+        # Bench-only cost-attribution knob (scripts/probe_step_split.py):
+        # "full" (production) | "scan" (no event block) | "coarse" (coarse
+        # scan only, no fine pass/event block) | "rhs" (no condition evals at
+        # all).  Trace-time switch, read from the environment because the
+        # kernel cache keys on config statics, not env — the probe runs ONE
+        # variant per process.  Never set in production.
+        self.profile = os.environ.get("MEGA_PROFILE", "full")
         self.species = "photon"  # overridden by integrate_mega
         # Nondimensionalization for the reverse-mode RHS (see _rhs): B in
         # units of |b0|, momenta/energies in units of mass_a, H in units of
@@ -554,9 +562,15 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
 
     is_ph = is_ph0
 
+    prof = getattr(C, "profile", "full")
+    if prof != "full":
+        assert not with_chain and not with_prob, \
+            "MEGA_PROFILE variants are bench-only (no chain/prob)"
+
     def _init(_):
         f0 = _rhs(C, u, lnt, erg, is_ph)
-        g0 = _condition(C, u, lnt)
+        g0 = (_condition(C, u, lnt) if prof != "rhs"
+              else jnp.zeros_like(lnt))
 
         # initial dt (Hairer-lite, cf. integrator._initial_dt)
         def nrm(vs, us):
@@ -674,7 +688,8 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         if use_pi:
             errold = jnp.where(accept, jnp.maximum(enorm, 1e-4), errold)
 
-        g_new = _condition(C, u_new, lnt + h)
+        g_new = (_condition(C, u_new, lnt + h) if prof != "rhs"
+                 else jnp.zeros_like(lnt))
 
         # --- event scan on the Hermite interpolant ---
         # Two-phase gated scan: reference event-scan density
@@ -717,7 +732,23 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
                 tau_prev = jnp.full_like(lnt, tau_j)
             return flip_found, tau_lo, tau_hi, gmin
 
-        if Kc:
+        if prof == "rhs":
+            # attribution variant: no condition evaluations, no scan — the
+            # 6-RHS DP5 step + controller + commit only
+            flip_found = jnp.zeros_like(done)
+            tau_lo = jnp.zeros_like(lnt)
+            tau_hi = jnp.zeros_like(lnt)
+        elif prof == "coarse":
+            # attribution variant: coarse pass only; results kept LIVE via a
+            # 1e-30-scaled diag write (constant-zero flip_found would let
+            # XLA dead-code-eliminate the whole scan), event block off
+            flip_c, tlo_c, thi_c, gmin = _scan(Kc or 4, True)
+            diag_ref[:, 6, :] = diag_ref[:, 6, :] + 1e-30 * (
+                gmin + tlo_c + thi_c + jnp.where(flip_c, 1.0, 0.0))
+            flip_found = jnp.zeros_like(done)
+            tau_lo = jnp.zeros_like(lnt)
+            tau_hi = jnp.zeros_like(lnt)
+        elif Kc:
             flip_c, tlo_c, thi_c, gmin = _scan(Kc, True)
             sus = accept & (flip_c | (gmin < C.gate_theta))
             any_sus = jnp.max(jnp.where(sus, 1.0, 0.0)) > 0.5
@@ -733,8 +764,18 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
             ff_f, tau_lo, tau_hi = lax.cond(any_sus, _fine_scan,
                                             _keep_coarse, 0)
             flip_found = ff_f > 0.5
+            if prof == "scan":
+                # attribution variant: full gated scan runs (kept live via
+                # diag), event block off
+                diag_ref[:, 6, :] = diag_ref[:, 6, :] + 1e-30 * (
+                    ff_f + tau_lo + tau_hi)
+                flip_found = jnp.zeros_like(done) > 0.5
         else:
             flip_found, tau_lo, tau_hi, _ = _scan(K, False)
+            if prof == "scan":
+                diag_ref[:, 6, :] = diag_ref[:, 6, :] + 1e-30 * (
+                    tau_lo + tau_hi + jnp.where(flip_found, 1.0, 0.0))
+                flip_found = jnp.zeros_like(done) > 0.5
         flip_found = flip_found & accept
 
         # Event block — tile-level skip: most steps bracket no crossing in

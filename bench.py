@@ -157,6 +157,18 @@ def main():
             "achieved_gflops": round(useful_flops / dt / 1e9, 2),
             "vpu_peak_frac": round(useful_flops / dt / mk.VPU_PEAK_F32, 4),
         }
+        # MEASURED per-tile-step cost split (scripts/probe_step_split.py
+        # kernel variants; committed artifact) — embedded so the attribution
+        # lands in BENCH_r{N}.json next to the modeled vpu_peak_frac
+        split_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "STEP_SPLIT_r04.json")
+        if os.path.exists(split_path):
+            with open(split_path) as f:
+                sp = json.load(f)
+            extra["step_cost_split_measured"] = {
+                k: sp[k] for k in ("frac_rhs_integration", "frac_coarse_scan",
+                                   "frac_fine_scan_plus_event",
+                                   "ns_per_lane_step")}
         if engine == "mega_chunked":
             extra["chunk_iters"] = chunk
         else:
