@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="forward-tree engine; auto = in-kernel whole-tree "
                         "Pallas engine (ops/treekernel.py) on the mega "
                         "engine at saveMode<=1, host work-queue otherwise")
-    p.add_argument("--tree_kernel_chunk", type=int, default=128,
+    p.add_argument("--tree_kernel_chunk", type=int, default=64,
                    help="per-launch iteration budget of the in-kernel tree "
                         "engine's staged straggler compaction; 0 = one "
                         "launch per batch (no compaction)")

@@ -51,6 +51,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -403,104 +404,132 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
             totp2 = totp + jnp.where(end_exit | (end_cross & rare),
                                      w_cur, 0.0)
 
-            # --- final record (no-crossing exit; MainRunner.jl:200-207) ---
+            # --- final record (no-crossing exit; MainRunner.jl:200-207).
+            # NESTED GATE: the segment block fires on most tile-steps
+            # (any-of-128-lanes), but an actual FINAL is ~100x rarer per
+            # lane — and this write loop is NF x 16 masked row writes (800
+            # vector ops at the deep NF=50).  Skip it unless some lane
+            # records a final this step.  MEASURED WALL-NEUTRAL at the deep
+            # 2048-event batch (77 ms with or without both nested gates —
+            # the scf.if overhead returns what the skipped writes save);
+            # kept for the VMEM write-traffic reduction and the
+            # small-NF/default-cutoff shapes.
             final_rec = end_exit & (cmain < NF - 0.5)
             overflow = end_exit & ~(cmain < NF - 0.5)
             final_ok = jnp.where(u2[0] > C.r_ns * 1.1, 1.0, 0.0)
-            for f in range(NF):
-                hit = final_rec & (jnp.abs(cmain - f) < 0.5)
-                hf = jnp.where(hit, 1.0, 0.0)
-                base = 16 * f
-                w_ = lambda row, val: jnp.where(
-                    hit, val, fin_ref[:, base + row, :])
-                fin_ref[:, base + F_VALID, :] = jnp.where(
-                    hit, 1.0, fin_ref[:, base + F_VALID, :])
-                fin_ref[:, base + F_ISFIN, :] = w_(F_ISFIN, final_ok)
-                fin_ref[:, base + F_ISPH, :] = w_(F_ISPH, is_ph)
-                fin_ref[:, base + F_ORD, :] = w_(F_ORD, ord_cur)
-                fin_ref[:, base + F_W, :] = w_(F_W, w_cur)
-                fin_ref[:, base + F_PROB, :] = w_(F_PROB, prob_cur)
-                fin_ref[:, base + F_PCONV, :] = w_(F_PCONV, pconv_cur)
-                fin_ref[:, base + F_PCONV0, :] = w_(F_PCONV0, pconv0_cur)
-                fin_ref[:, base + F_TB, :] = w_(F_TB, tb_cur)
-                for j in range(7):
-                    fin_ref[:, base + F_U0 + j, :] = w_(F_U0 + j, u2[j])
-                del hf
+            any_final = jnp.max(jnp.where(final_rec, 1.0, 0.0)) > 0.5
+
+            def _final_blk(_):
+                for f in range(NF):
+                    hit = final_rec & (jnp.abs(cmain - f) < 0.5)
+                    base = 16 * f
+                    w_ = lambda row, val: jnp.where(
+                        hit, val, fin_ref[:, base + row, :])
+                    fin_ref[:, base + F_VALID, :] = jnp.where(
+                        hit, 1.0, fin_ref[:, base + F_VALID, :])
+                    fin_ref[:, base + F_ISFIN, :] = w_(F_ISFIN, final_ok)
+                    fin_ref[:, base + F_ISPH, :] = w_(F_ISPH, is_ph)
+                    fin_ref[:, base + F_ORD, :] = w_(F_ORD, ord_cur)
+                    fin_ref[:, base + F_W, :] = w_(F_W, w_cur)
+                    fin_ref[:, base + F_PROB, :] = w_(F_PROB, prob_cur)
+                    fin_ref[:, base + F_PCONV, :] = w_(F_PCONV, pconv_cur)
+                    fin_ref[:, base + F_PCONV0, :] = w_(F_PCONV0, pconv0_cur)
+                    fin_ref[:, base + F_TB, :] = w_(F_TB, tb_cur)
+                    for j in range(7):
+                        fin_ref[:, base + F_U0 + j, :] = w_(F_U0 + j, u2[j])
+                return 0
+
+            lax.cond(any_final, _final_blk, lambda _: 0, 0)
             cmain2 = cmain + jnp.where(end_exit, 1.0, 0.0)
 
-            # --- spawn children (MainRunner.jl:278-305) ---
+            # --- spawn children (MainRunner.jl:278-305).  NESTED GATE: the
+            # uniform-select chain (UU = max_nodes+1 masked row reads, 104 at
+            # deep cutoffs), the child renormalization, and the QD x 16
+            # queue-push writes only matter on steps where some lane spawns
+            # (a recorded crossing) — a pure-exit segment end skips them.
             mc_mode = ord_cur > T.mc_nodes + 0.5
-            # pre-drawn uniform for THIS node index (fold_in(key, ord))
-            u_draw = zrow
-            for j in range(UU):
-                u_draw = jnp.where(jnp.abs(ord_cur - (j + 1)) < 0.5,
-                                   uni_ref[:, j, :], u_draw)
-            conv = u_draw < p_star
-            # child birth state: crossing momenta renormalized onto the
-            # axion shell at the event energy (the host relaunch's
-            # k_norm_Cart ax_fix semantics; megakernel._chain_restart)
-            r_s = jnp.maximum(u_star[0], C.r_ns)
-            s_t, _c_t = _sincos(u_star[1])
-            g_tt_f, g_rr_f, g_thth_f, g_pp_f = _metric(
-                C, r_s, s_t, rs0=C.rs0_full)
-            wsq = (g_rr_f * u_star[3] ** 2 + g_thth_f * u_star[4] ** 2
-                   + g_pp_f * u_star[5] ** 2)
-            et = erg * (1.0 / C.mass_a)
-            nrm = jnp.sqrt(jnp.maximum(
-                (-g_tt_f * et * et - 1.0) / (et * et * wsq), 0.0))
-            u_c = (u_star[0], u_star[1], u_star[2], u_star[3] * nrm,
-                   u_star[4] * nrm, u_star[5] * nrm, u_star[6])
-            dw_child = u_star[6] / erg
-
-            flip_sp = jnp.where(is_ph > 0.5, 0.0, 1.0)
-            spA = jnp.where(mc_mode, jnp.where(conv, flip_sp, is_ph), flip_sp)
-            wA = jnp.where(mc_mode, w_cur, p_star * w_cur)
-            probA = jnp.where(mc_mode,
-                              jnp.where(conv, p_star, 1.0 - p_star), p_star)
-            pconv0A = jnp.where(mc_mode,
-                                jnp.where(conv, p_star, pconv_cur), p_star)
             push_b = spawn & ~mc_mode
-            wB = (1.0 - p_star) * w_cur
-            probB = 1.0 - p_star
-            slotA = nall
-            slotB = nall + 1.0
             nall2 = nall + jnp.where(spawn,
                                      jnp.where(mc_mode, 1.0, 2.0), 0.0)
+            any_spawn = jnp.max(jnp.where(spawn, 1.0, 0.0)) > 0.5
 
-            # queue pushes: child A to the first free slot, B to the second
-            cnt = zrow
-            pushedA = jnp.zeros_like(done_m)
-            pushedB = jnp.zeros_like(done_m)
-            for s in range(QD):
-                base = 16 * s
-                st_s = qs_ref[:, base + Q_ST, :]
-                free = st_s < 0.5
-                f1 = free & (cnt < 0.5) & spawn
-                f2 = free & (jnp.abs(cnt - 1.0) < 0.25) & push_b
-                wr = f1 | f2
+            def _spawn_blk(_):
+                # pre-drawn uniform for THIS node index (fold_in(key, ord))
+                u_draw = zrow
+                for j in range(UU):
+                    u_draw = jnp.where(jnp.abs(ord_cur - (j + 1)) < 0.5,
+                                       uni_ref[:, j, :], u_draw)
+                conv = u_draw < p_star
+                # child birth state: crossing momenta renormalized onto the
+                # axion shell at the event energy (the host relaunch's
+                # k_norm_Cart ax_fix semantics; megakernel._chain_restart)
+                r_s = jnp.maximum(u_star[0], C.r_ns)
+                s_t, _c_t = _sincos(u_star[1])
+                g_tt_f, g_rr_f, g_thth_f, g_pp_f = _metric(
+                    C, r_s, s_t, rs0=C.rs0_full)
+                wsq = (g_rr_f * u_star[3] ** 2 + g_thth_f * u_star[4] ** 2
+                       + g_pp_f * u_star[5] ** 2)
+                et = erg * (1.0 / C.mass_a)
+                nrm = jnp.sqrt(jnp.maximum(
+                    (-g_tt_f * et * et - 1.0) / (et * et * wsq), 0.0))
+                u_c = (u_star[0], u_star[1], u_star[2], u_star[3] * nrm,
+                       u_star[4] * nrm, u_star[5] * nrm, u_star[6])
+                dw_child = u_star[6] / erg
 
-                def qw(row, valA, valB):
-                    qs_ref[:, base + row, :] = jnp.where(
-                        f1, valA, jnp.where(f2, valB,
-                                            qs_ref[:, base + row, :]))
+                flip_sp = jnp.where(is_ph > 0.5, 0.0, 1.0)
+                spA = jnp.where(mc_mode, jnp.where(conv, flip_sp, is_ph),
+                                flip_sp)
+                wA = jnp.where(mc_mode, w_cur, p_star * w_cur)
+                probA = jnp.where(mc_mode,
+                                  jnp.where(conv, p_star, 1.0 - p_star),
+                                  p_star)
+                pconv0A = jnp.where(mc_mode,
+                                    jnp.where(conv, p_star, pconv_cur),
+                                    p_star)
+                wB = (1.0 - p_star) * w_cur
+                probB = 1.0 - p_star
+                slotA = nall
+                slotB = nall + 1.0
 
-                for j in range(7):
-                    qw(Q_U0 + j, u_c[j], u_c[j])
-                qw(Q_LNT, lnt_star, lnt_star)
-                qw(Q_ISPH, spA, is_ph)
-                qw(Q_W, wA, wB)
-                qw(Q_PROB, probA, probB)
-                qw(Q_PCONV, p_star, p_star)
-                qw(Q_PCONV0, pconv0A, pconv_cur)
-                qw(Q_DW, dw_child, dw_child)
-                qw(Q_SLOT, slotA, slotB)
-                qs_ref[:, base + Q_ST, :] = jnp.where(wr, 1.0, st_s)
-                cnt = cnt + jnp.where(free, 1.0, 0.0)
-                pushedA = pushedA | f1
-                pushedB = pushedB | f2
+                # queue pushes: child A to the first free slot, B the second
+                cnt = zrow
+                pushedA = jnp.zeros_like(done_m)
+                pushedB = jnp.zeros_like(done_m)
+                for s in range(QD):
+                    base = 16 * s
+                    st_s = qs_ref[:, base + Q_ST, :]
+                    free = st_s < 0.5
+                    f1 = free & (cnt < 0.5) & spawn
+                    f2 = free & (jnp.abs(cnt - 1.0) < 0.25) & push_b
+                    wr = f1 | f2
+
+                    def qw(row, valA, valB):
+                        qs_ref[:, base + row, :] = jnp.where(
+                            f1, valA, jnp.where(f2, valB,
+                                                qs_ref[:, base + row, :]))
+
+                    for j in range(7):
+                        qw(Q_U0 + j, u_c[j], u_c[j])
+                    qw(Q_LNT, lnt_star, lnt_star)
+                    qw(Q_ISPH, spA, is_ph)
+                    qw(Q_W, wA, wB)
+                    qw(Q_PROB, probA, probB)
+                    qw(Q_PCONV, p_star, p_star)
+                    qw(Q_PCONV0, pconv0A, pconv_cur)
+                    qw(Q_DW, dw_child, dw_child)
+                    qw(Q_SLOT, slotA, slotB)
+                    qs_ref[:, base + Q_ST, :] = jnp.where(wr, 1.0, st_s)
+                    cnt = cnt + jnp.where(free, 1.0, 0.0)
+                    pushedA = pushedA | f1
+                    pushedB = pushedB | f2
+                failA = spawn & ~pushedA
+                failB = push_b & ~pushedB
+                return jnp.where(failA | failB, 1.0, 0.0)
+
+            push_fail = lax.cond(any_spawn, _spawn_blk, lambda _: zrow, 0)
             # QD = mc_nodes + 2 bounds the pending count, so a failed push
             # can only mean a user-shrunk queue — flag for host replay
-            overflow = overflow | (spawn & ~pushedA) | (push_b & ~pushedB)
+            overflow = overflow | (push_fail > 0.5)
 
             # --- per-node cutoffs, the reference's order.  Overflow takes
             # PRECEDENCE: an unrecordable final invalidates the kernel
@@ -846,6 +875,27 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
         # round-trips through the aux/queue blocks; finals accumulate on
         # their per-launch written flags; uniforms ride the permutation.
         def launch(st, it_cap):
+            # Actives-first repack EVERY launch (round-4 stage-packing
+            # lever): a 128-lane tile runs until its slowest ACTIVE lane
+            # finishes, so concentrating actives into the leading tiles
+            # turns every all-done tail tile into a tile_run skip — a free
+            # width shrink at 128-lane granularity, each launch, not just at
+            # pyramid stage boundaries.  The argsort+gather costs ~10 ms at
+            # 65k lanes (the megakernel's measured boundary) but only ~0.3 ms
+            # at the 2048-event tree batch.  Tile composition changes, which
+            # can move a tile-level fine-scan gate firing — bit-exact by the
+            # census-validated gate margin (same class as the pyramid's
+            # stage-boundary repack).
+            if os.environ.get("TREEK_PACK", "done") == "work":
+                # secondary key: among actives, group heavy chains together
+                # (descending accumulated steps) so a tile's lanes finish
+                # coherently instead of one long chain holding 127 short ones
+                key = (st["aux"][:, A_DONE] * 1e9
+                       - st["aux"][:, A_STEPTOT])
+            else:
+                key = st["aux"][:, A_DONE]
+            order = jnp.argsort(key, stable=True)
+            st = {k: v[order] for k, v in st.items()}
             act = st["aux"][:, A_DONE] < 0.5
             uo, ao, qo, f = tree_kernel_launch(
                 st["uin"], st["aux"], st["uni"], st["qin"], sc, cfg, tcfg,
@@ -864,7 +914,12 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
         acc_aux = aux
         acc_fin = st["fin"]
 
-        floor = max(min(512, Bp), 128)
+        # Stage-pyramid floor: with per-launch actives-first packing the
+        # late drain runs all-done tiles as tile_run skips anyway, so the
+        # narrowest (128-lane) buffer wins — deep 2048-event sweep (ms):
+        # floor 512 / chunk {64,128,256} = 84/83/97, floor 128 = 80/88/95,
+        # work-keyed packing 77 (within noise of done-keyed 80).
+        floor = max(min(int(os.environ.get("TREEK_FLOOR", "128")), Bp), 128)
         sizes = []
         n = Bp
         while n > floor:

@@ -73,7 +73,7 @@ def main():
                              "BENCH_TREE_ENGINE",
                              "queue" if platform == "cpu" else "kernel"),
                          tree_kernel_chunk=int(
-                             os.environ.get("BENCH_TK_CHUNK", "128")),
+                             os.environ.get("BENCH_TK_CHUNK", "64")),
                          tree_kernel_finals=int(
                              os.environ.get("BENCH_TK_FINALS", "64")),
                          backtrace_chunk=int(os.environ.get("BENCH_BT_CHUNK", "0")),

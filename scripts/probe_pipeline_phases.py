@@ -1,6 +1,6 @@
 """Where does the kernel-tree pipeline lose time? Phase dissection on TPU.
 
-Times, на one production 2048-event batch: the full jitted pipeline (queue
+Times, on one production 2048-event batch: the full jitted pipeline (queue
 vs kernel engines), the forward tree alone, and kinematics+backtrace alone.
 """
 import os
