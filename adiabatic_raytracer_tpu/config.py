@@ -282,6 +282,22 @@ class NumericsConfig:
     # megakernel.integrate_mega_chunked, without the compaction pyramid —
     # the event batch is only ~16 tiles).
     tree_kernel_chunk: int = static_field(0)
+    # In-kernel REFILL engine (ops/treekernel._tree_kernel_refill): instead
+    # of one-lane-per-event + host relaunch/repack, 128 lanes serve a
+    # per-tile event partition from an in-kernel queue — a lane whose tree
+    # completes scatters its counters/finals to the per-event output via a
+    # one-hot MXU matmul and gathers the next unstarted event's init rows
+    # from a VMEM-resident table, so intra-tile lockstep idling (the
+    # relaunch engine's remaining waste) becomes useful work.  0 = off
+    # (relaunch engine); 1 = auto partition (1024 events/tile); >= 128 =
+    # explicit events-per-tile partition.  Takes precedence over
+    # tree_kernel_chunk.  Env overrides for sweeps: TREEK_REFILL,
+    # TREEK_REFILL_K.
+    tree_refill: int = static_field(0)
+    # Refill boundary period (iterations between queue pulls): a completed
+    # lane idles at most tree_refill_k - 1 steps; smaller values refill
+    # sooner but fire the gather/scatter matmul block more often.
+    tree_refill_k: int = static_field(8)
     # Physics-evaluation dtype: "state" (follow the state dtype) or "f32".
     # On TPU, f64 is software-emulated and both slow and compile-heavy; the
     # mixed scheme keeps the integration state and step arithmetic in f64

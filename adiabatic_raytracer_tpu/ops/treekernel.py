@@ -88,6 +88,10 @@ AUX_ROWS = 32
 R_COUNT, R_CMAIN, R_TOTP, R_ANOM, R_NALLOC, R_INFO = range(6)
 R_WCUR, R_PROB, R_PCONV, R_PCONV0, R_TB, R_DW, R_ORD = range(6, 13)
 R_X0X, R_X0Y, R_X0Z, R_STEPTOT = range(13, 17)
+# erg / lnt1 live in regs so the step body is reusable by the refill kernel
+# (where they change per served event); R_EVID is refill-only (the lane's
+# current LOCAL event index, -1 when idle)
+R_ERGL, R_LNT1L, R_EVID = range(17, 20)
 REG_ROWS = 24
 # queue slot rows (16 per slot): u(7), lnt, is_ph, weight, prob, pconv,
 # pconv0, dw, pool_slot, status
@@ -100,12 +104,26 @@ F_U0 = 9
 
 INFO_OVERFLOW = 9.0  # sentinel: needs host replay (finals/queue capacity)
 
+# refill-kernel event TABLE rows [R, 16 + UU, EPART] (per-event init state,
+# VMEM-resident; a lane gathers its next event's rows via a one-hot MXU
+# matmul when its current tree finishes)
+TB_U0 = 0            # u0 (7 rows)
+TB_LNT, TB_ERG, TB_LNT1, TB_PROB0, TB_X0X, TB_X0Y, TB_X0Z = range(7, 14)
+TB_UNI = 16          # per-node uniforms (UU rows)
+# refill-kernel per-EVENT output rows [R, 16 + NF*16, EPART]: 16 counter
+# rows then the NF finals slots, scattered (one-hot MXU) at event completion
+EV_INFO, EV_COUNT, EV_CMAIN, EV_TOTP, EV_ANOM, EV_NALLOC = range(6)
+EV_STEPS, EV_ITERS, EV_DONE = range(6, 9)
+EV_CNT_ROWS = 16
+EV_FIN = 16
+
 
 class TreeConsts:
     """Static per-launch tree parameters baked into the kernel."""
 
     def __init__(self, tcfg: TreeConfig, *, nf: int, qd: int, uu: int,
-                 it_cap: int):
+                 it_cap: int, epart: int = 0, refill_k: int = 8,
+                 n_events: int = 0, lanes: int = 128):
         self.mc_nodes = float(tcfg.mc_nodes)
         self.num_cutoff = float(tcfg.num_cutoff)
         self.max_nodes = float(tcfg.max_nodes)
@@ -114,6 +132,12 @@ class TreeConsts:
         self.qd = int(qd)
         self.uu = int(uu)
         self.it_cap = int(it_cap)
+        # refill-kernel statics: events per tile partition, refill boundary
+        # period, total (unpadded) event count, lanes per tile
+        self.epart = int(epart)
+        self.refill_k = int(refill_k)
+        self.n_events = int(n_events)
+        self.lanes = int(lanes)
 
 
 def _hairer_dt(C, u, f0, lnt, lnt1):
@@ -132,80 +156,27 @@ def _hairer_dt(C, u, f0, lnt, lnt1):
     return jnp.minimum(dt, 0.1 * jnp.maximum(lnt1 - lnt, 1e-30))
 
 
-def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
-                 uout_ref, auxout_ref, qout_ref, fin_ref,
-                 qs_ref, rs_ref, *, C: SceneConsts, T: TreeConsts):
-    """One tile of 128 events, each running its full branching tree."""
+def _make_step_body(C: SceneConsts, T: TreeConsts, qs_ref, rs_ref, fin_ref,
+                    uni_at):
+    """Build the per-iteration loop body shared by the relaunch kernel
+    (`_tree_kernel`) and the refill kernel (`_tree_kernel_refill`): one
+    adaptive DP5 step + gated event scan + event block + segment block.
+
+    carry = (done, u(7), u_lo(7), lnt, lnt_lo, dt, f0, g0, steps, lnt_ck,
+    is_ph, it).  Reads erg / lnt1 / x0 from the `rs_ref` register rows
+    (written once per launch by `_tree_kernel`, per refill by the refill
+    kernel); `uni_at(j)` abstracts the per-node uniform source (input block
+    vs refill-gathered scratch)."""
     NF, QD, UU = T.nf, T.qd, T.uu
-
-    u = tuple(uin_ref[:, i, :] for i in range(7))
-    u_lo = tuple(uin_ref[:, 8 + i, :] for i in range(7))
-    lnt = aux_ref[:, A_LNT, :]
-    lnt_lo = aux_ref[:, A_LNTLO, :]
-    dt_in = aux_ref[:, A_DT, :]
-    steps = aux_ref[:, A_STEPS, :]
-    lnt_ck0 = aux_ref[:, A_LNTCK, :]
-    is_ph = aux_ref[:, A_ISPH, :]
-    done0 = aux_ref[:, A_DONE, :]
-    erg = aux_ref[:, A_ERG, :]
-    lnt1 = aux_ref[:, A_LNT1, :]
-
-    tile_run = jnp.min(done0) < 0.5
-    zrow = jnp.zeros_like(lnt)
-
-    @pl.when(tile_run)
-    def _load_scratch():
-        # queue + segment-end registers persist in VMEM scratch across the
-        # while loop (they change only at segment ends; carrying them would
-        # blow vector-register pressure)
-        for i in range(QD * 16):
-            qs_ref[:, i, :] = qin_ref[:, i, :]
-        rs_ref[:, R_COUNT, :] = aux_ref[:, A_COUNT, :]
-        rs_ref[:, R_CMAIN, :] = aux_ref[:, A_CMAIN, :]
-        rs_ref[:, R_TOTP, :] = aux_ref[:, A_TOTP, :]
-        rs_ref[:, R_ANOM, :] = aux_ref[:, A_ANOM, :]
-        rs_ref[:, R_NALLOC, :] = aux_ref[:, A_NALLOC, :]
-        rs_ref[:, R_INFO, :] = aux_ref[:, A_INFO, :]
-        rs_ref[:, R_WCUR, :] = aux_ref[:, A_WCUR, :]
-        rs_ref[:, R_PROB, :] = aux_ref[:, A_PROB, :]
-        rs_ref[:, R_PCONV, :] = aux_ref[:, A_PCONV, :]
-        rs_ref[:, R_PCONV0, :] = aux_ref[:, A_PCONV0, :]
-        rs_ref[:, R_TB, :] = aux_ref[:, A_TB, :]
-        rs_ref[:, R_DW, :] = aux_ref[:, A_DW, :]
-        rs_ref[:, R_ORD, :] = aux_ref[:, A_ORD, :]
-        rs_ref[:, R_X0X, :] = aux_ref[:, A_X0X, :]
-        rs_ref[:, R_X0Y, :] = aux_ref[:, A_X0Y, :]
-        rs_ref[:, R_X0Z, :] = aux_ref[:, A_X0Z, :]
-        rs_ref[:, R_STEPTOT, :] = aux_ref[:, A_STEPTOT, :]
-        for i in range(17, REG_ROWS):
-            rs_ref[:, i, :] = zrow
-        # finals written-this-launch flags start clear (the relaunch wrapper
-        # merges on them)
-        for f in range(NF):
-            fin_ref[:, 16 * f + F_VALID, :] = zrow
-
-    def _init(_):
-        f0 = _rhs(C, u, lnt, erg, is_ph)
-        g0 = _condition(C, u, lnt)
-        dt = _hairer_dt(C, u, f0, lnt, lnt1)
-        return f0, g0, jnp.where(dt_in > 0, dt_in, dt)
-
-    def _skip_init(_):
-        z = zrow
-        return tuple(z for _ in range(7)), z, z
-
-    f0, g0, dt = lax.cond(tile_run, _init, _skip_init, 0)
-
-    done = jnp.where(done0 > 0.5, 1.0, 0.0)
     K = C.interp
     Kc = C.interp_coarse if 0 < C.interp_coarse < C.interp else 0
-
-    def cond_fn(carry):
-        return jnp.logical_and(jnp.min(carry[0]) < 0.5, carry[-1] < T.it_cap)
 
     def body(carry):
         (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, lnt_ck,
          is_ph, it) = carry
+        zrow = jnp.zeros_like(lnt)
+        erg = rs_ref[:, R_ERGL, :]
+        lnt1 = rs_ref[:, R_LNT1L, :]
         done_m = done_f > 0.5
         active = jnp.logical_not(done_m)
         x0c = (rs_ref[:, R_X0X, :], rs_ref[:, R_X0Y, :], rs_ref[:, R_X0Z, :])
@@ -458,7 +429,7 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
                 u_draw = zrow
                 for j in range(UU):
                     u_draw = jnp.where(jnp.abs(ord_cur - (j + 1)) < 0.5,
-                                       uni_ref[:, j, :], u_draw)
+                                       uni_at(j), u_draw)
                 conv = u_draw < p_star
                 # child birth state: crossing momenta renormalized onto the
                 # axion shell at the event energy (the host relaunch's
@@ -673,6 +644,83 @@ def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
         return (done3, u3, u_lo3, lnt3, lnt_lo3, dt3, f03, g03, steps3,
                 lnt_ck3, is_ph3, it + 1)
 
+    return body
+
+
+def _tree_kernel(uin_ref, aux_ref, uni_ref, qin_ref,
+                 uout_ref, auxout_ref, qout_ref, fin_ref,
+                 qs_ref, rs_ref, *, C: SceneConsts, T: TreeConsts):
+    """One tile of 128 events, each running its full branching tree."""
+    NF, QD, UU = T.nf, T.qd, T.uu
+
+    u = tuple(uin_ref[:, i, :] for i in range(7))
+    u_lo = tuple(uin_ref[:, 8 + i, :] for i in range(7))
+    lnt = aux_ref[:, A_LNT, :]
+    lnt_lo = aux_ref[:, A_LNTLO, :]
+    dt_in = aux_ref[:, A_DT, :]
+    steps = aux_ref[:, A_STEPS, :]
+    lnt_ck0 = aux_ref[:, A_LNTCK, :]
+    is_ph = aux_ref[:, A_ISPH, :]
+    done0 = aux_ref[:, A_DONE, :]
+    erg = aux_ref[:, A_ERG, :]
+    lnt1 = aux_ref[:, A_LNT1, :]
+
+    tile_run = jnp.min(done0) < 0.5
+    zrow = jnp.zeros_like(lnt)
+
+    @pl.when(tile_run)
+    def _load_scratch():
+        # queue + segment-end registers persist in VMEM scratch across the
+        # while loop (they change only at segment ends; carrying them would
+        # blow vector-register pressure)
+        for i in range(QD * 16):
+            qs_ref[:, i, :] = qin_ref[:, i, :]
+        rs_ref[:, R_COUNT, :] = aux_ref[:, A_COUNT, :]
+        rs_ref[:, R_CMAIN, :] = aux_ref[:, A_CMAIN, :]
+        rs_ref[:, R_TOTP, :] = aux_ref[:, A_TOTP, :]
+        rs_ref[:, R_ANOM, :] = aux_ref[:, A_ANOM, :]
+        rs_ref[:, R_NALLOC, :] = aux_ref[:, A_NALLOC, :]
+        rs_ref[:, R_INFO, :] = aux_ref[:, A_INFO, :]
+        rs_ref[:, R_WCUR, :] = aux_ref[:, A_WCUR, :]
+        rs_ref[:, R_PROB, :] = aux_ref[:, A_PROB, :]
+        rs_ref[:, R_PCONV, :] = aux_ref[:, A_PCONV, :]
+        rs_ref[:, R_PCONV0, :] = aux_ref[:, A_PCONV0, :]
+        rs_ref[:, R_TB, :] = aux_ref[:, A_TB, :]
+        rs_ref[:, R_DW, :] = aux_ref[:, A_DW, :]
+        rs_ref[:, R_ORD, :] = aux_ref[:, A_ORD, :]
+        rs_ref[:, R_X0X, :] = aux_ref[:, A_X0X, :]
+        rs_ref[:, R_X0Y, :] = aux_ref[:, A_X0Y, :]
+        rs_ref[:, R_X0Z, :] = aux_ref[:, A_X0Z, :]
+        rs_ref[:, R_STEPTOT, :] = aux_ref[:, A_STEPTOT, :]
+        rs_ref[:, R_ERGL, :] = aux_ref[:, A_ERG, :]
+        rs_ref[:, R_LNT1L, :] = aux_ref[:, A_LNT1, :]
+        for i in range(R_EVID, REG_ROWS):
+            rs_ref[:, i, :] = zrow
+        # finals written-this-launch flags start clear (the relaunch wrapper
+        # merges on them)
+        for f in range(NF):
+            fin_ref[:, 16 * f + F_VALID, :] = zrow
+
+    def _init(_):
+        f0 = _rhs(C, u, lnt, erg, is_ph)
+        g0 = _condition(C, u, lnt)
+        dt = _hairer_dt(C, u, f0, lnt, lnt1)
+        return f0, g0, jnp.where(dt_in > 0, dt_in, dt)
+
+    def _skip_init(_):
+        z = zrow
+        return tuple(z for _ in range(7)), z, z
+
+    f0, g0, dt = lax.cond(tile_run, _init, _skip_init, 0)
+
+    done = jnp.where(done0 > 0.5, 1.0, 0.0)
+
+    def cond_fn(carry):
+        return jnp.logical_and(jnp.min(carry[0]) < 0.5, carry[-1] < T.it_cap)
+
+    body = _make_step_body(C, T, qs_ref, rs_ref, fin_ref,
+                           lambda j: uni_ref[:, j, :])
+
     carry = (done, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, lnt_ck0,
              is_ph, jnp.zeros((), jnp.int32))
     out = lax.while_loop(cond_fn, body, carry)
@@ -765,6 +813,247 @@ def tree_kernel_launch(uin, aux, uni, qin, sc: Scene, cfg: NumericsConfig,
     return from_blk(uout), from_blk(auxout), from_blk(qout), from_blk(fin)
 
 
+def _tree_kernel_refill(tbl_ref, evout_ref, qs_ref, rs_ref, us_ref, fs_ref,
+                        *, C: SceneConsts, T: TreeConsts):
+    """Refill variant: L lanes serve an EPART-event partition from an
+    in-kernel queue.  A lane whose event's tree completes (a) SCATTERS its
+    counters + finals to the per-event output columns via a one-hot MXU
+    matmul, then (b) GATHERS the next unstarted event's init rows from the
+    VMEM-resident table via the transposed one-hot matmul — so intra-tile
+    lockstep idling (the relaunch engine's remaining waste, docs/DESIGN.md
+    §8) becomes useful work while the queue is non-empty.  Grid tiles run
+    sequentially on the TensorCore, so the static per-tile partition needs
+    no cross-tile coordination.  Refills happen every `refill_k` iterations
+    (a completed lane waits at most refill_k-1 steps), and simultaneous
+    completions get distinct queue indices via a triangular-matmul exclusive
+    prefix sum over the lane axis."""
+    NF, QD, UU = T.nf, T.qd, T.uu
+    EP, RK, L = T.epart, T.refill_k, T.lanes
+    f32 = jnp.float32
+    i32 = jnp.int32
+    pid = pl.program_id(0)
+    nv = jnp.minimum(jnp.asarray(EP, i32),
+                     jnp.asarray(T.n_events, i32) - pid.astype(i32) * EP)
+    nvf = nv.astype(f32)
+    zrow = jnp.zeros((1, L), f32)
+
+    # prologue: zero the per-event output block AND every scratch ref —
+    # VMEM scratch starts UNINITIALIZED (NaN under interpret mode, garbage
+    # on hardware) and the one-hot scatter matmuls below rely on 0*x == 0,
+    # which NaN breaks for EVERY column of the accumulated output (measured:
+    # the it=0 flush, all lanes masked, scattered NaN into all events' rows).
+    # Then benign lane state (a lane holds it only until the it=0 refill
+    # populates it — u must merely be finite under _rhs so idle-lane
+    # arithmetic cannot produce NaNs that the step body would have to mask).
+    evout_ref[:] = jnp.zeros_like(evout_ref)
+    qs_ref[:] = jnp.zeros_like(qs_ref)
+    rs_ref[:] = jnp.zeros_like(rs_ref)
+    us_ref[:] = jnp.zeros_like(us_ref)
+    fs_ref[:] = jnp.zeros_like(fs_ref)
+    rs_ref[:, R_EVID, :] = zrow - 1.0
+    rs_ref[:, R_ERGL, :] = zrow + C.mass_a
+    rs_ref[:, R_LNT1L, :] = zrow - 1.0
+    rs_ref[:, R_X0X, :] = zrow + 3.0 * C.r_ns
+    rs_ref[:, R_X0Y, :] = zrow
+    rs_ref[:, R_X0Z, :] = zrow
+
+    def _counters(it_val):
+        """[EV_CNT_ROWS, L] matrix of the per-lane counter rows to scatter."""
+        rows = [
+            rs_ref[0, R_INFO, :], rs_ref[0, R_COUNT, :],
+            rs_ref[0, R_CMAIN, :], rs_ref[0, R_TOTP, :],
+            rs_ref[0, R_ANOM, :], rs_ref[0, R_NALLOC, :],
+            rs_ref[0, R_STEPTOT, :],
+            jnp.full((L,), 1.0, f32) * it_val.astype(f32),
+            jnp.full((L,), 1.0, f32),   # EV_DONE: flushed marker
+        ]
+        rows += [jnp.zeros((L,), f32)] * (EV_CNT_ROWS - len(rows))
+        return jnp.stack(rows, axis=0)
+
+    def _flush(evid, mask_f, it_val):
+        """Scatter counters+finals of `mask` lanes to their event columns.
+
+        Values are sanitized on the LANE side before the matmul (masked-out
+        lanes and invalid finals slots forced to 0.0): the scatter relies on
+        0*x == 0, so a single non-finite value in any lane's registers or
+        stale finals rows would poison every event column of the tile."""
+        oh2 = (lax.broadcasted_iota(i32, (L, EP), 1).astype(f32)
+               == evid[:, None]).astype(f32) * mask_f[:, None]
+        keep = mask_f[None, :] > 0.5
+        cnt = jnp.where(keep, _counters(it_val), 0.0)
+        evout_ref[0, 0:EV_CNT_ROWS, :] = evout_ref[0, 0:EV_CNT_ROWS, :] + \
+            jnp.dot(cnt, oh2, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+        # finals rows: additionally zero slots this event never wrote
+        # (their rows are the PREVIOUS served event's values)
+        fv = []
+        for f in range(NF):
+            sl = fs_ref[0, 16 * f:16 * (f + 1), :]
+            valid = sl[F_VALID:F_VALID + 1, :] > 0.5
+            fv.append(jnp.where(jnp.logical_and(keep, valid), sl, 0.0))
+        evout_ref[0, EV_FIN:, :] = evout_ref[0, EV_FIN:, :] + \
+            jnp.dot(jnp.concatenate(fv, axis=0), oh2,
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+    step_body = _make_step_body(C, T, qs_ref, rs_ref, fs_ref,
+                                lambda j: us_ref[:, j, :])
+
+    def body_rf(carry):
+        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, lnt_ck, is_ph,
+         it, qhead) = carry
+        awaiting = done_f > 0.5
+        at_b = jnp.mod(it, RK) == 0
+        do_ref = jnp.logical_and(
+            jnp.logical_and(at_b, qhead < nv),
+            jnp.max(jnp.where(awaiting, 1.0, 0.0)) > 0.5)
+
+        def _refill(args):
+            (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, lnt_ck,
+             is_ph, qhead) = args
+            evid = rs_ref[0, R_EVID, :]
+            aw1 = awaiting[0, :]
+            # 1. flush completed events (a lane awaiting with a live evid)
+            flh = jnp.where(aw1, 1.0, 0.0) * jnp.where(evid >= 0, 1.0, 0.0)
+            _flush(evid, flh, it)
+            # 2. distinct queue indices for the refilling lanes
+            tri = (lax.broadcasted_iota(i32, (L, L), 0)
+                   < lax.broadcasted_iota(i32, (L, L), 1)).astype(f32)
+            m = jnp.where(aw1, 1.0, 0.0)
+            rank = jnp.dot(m[None, :], tri, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)[0, :]
+            new_idx = qhead.astype(f32) + rank
+            take1 = aw1 & (new_idx < nvf)
+            new_idx = jnp.where(take1, new_idx, -1.0)
+            # flushed-but-not-taken lanes must drop their evid or the
+            # post-loop flush would double-scatter them
+            rs_ref[0, R_EVID, :] = jnp.where(
+                take1, new_idx, jnp.where(flh > 0.5, -1.0, evid))
+            qhead2 = qhead + jnp.sum(jnp.where(take1, 1.0, 0.0)).astype(i32)
+            # 3. gather the new events' init rows (one-hot MXU)
+            oh = (lax.broadcasted_iota(i32, (EP, L), 0).astype(f32)
+                  == new_idx[None, :]).astype(f32)
+            got = jnp.dot(tbl_ref[0, :, :], oh, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+            t2 = take1[None, :]
+            row = lambda r: got[r, :][None, :]
+            u2 = tuple(jnp.where(t2, row(TB_U0 + j), uj)
+                       for j, uj in enumerate(u))
+            u_lo2 = tuple(jnp.where(t2, 0.0, ul) for ul in u_lo)
+            lnt2 = jnp.where(t2, row(TB_LNT), lnt)
+            lnt_lo2 = jnp.where(t2, 0.0, lnt_lo)
+            steps2 = jnp.where(t2, 0.0, steps)
+            # root stall checkpoint is 0, not lnt0 — the relaunch engine's
+            # A_LNTCK launch init (bit-compat with the pinned census)
+            lnt_ck2 = jnp.where(t2, 0.0, lnt_ck)
+            is_ph2 = jnp.where(t2, 1.0, is_ph)
+            done2 = jnp.where(t2, 0.0, done_f)
+            # root registers (forward_tree_kernel's launch init)
+            wr = lambda r, val: jnp.where(t2, val, rs_ref[:, r, :])
+            rs_ref[:, R_COUNT, :] = wr(R_COUNT, 1.0)
+            rs_ref[:, R_CMAIN, :] = wr(R_CMAIN, 0.0)
+            rs_ref[:, R_TOTP, :] = wr(R_TOTP, 0.0)
+            rs_ref[:, R_ANOM, :] = wr(R_ANOM, 0.0)
+            rs_ref[:, R_NALLOC, :] = wr(R_NALLOC, 1.0)
+            rs_ref[:, R_INFO, :] = wr(R_INFO, 1.0)
+            rs_ref[:, R_WCUR, :] = wr(R_WCUR, 1.0)
+            rs_ref[:, R_PROB, :] = wr(R_PROB, row(TB_PROB0))
+            rs_ref[:, R_PCONV, :] = wr(R_PCONV, -1.0)
+            rs_ref[:, R_PCONV0, :] = wr(R_PCONV0, -1.0)
+            rs_ref[:, R_TB, :] = wr(R_TB, 0.0)
+            rs_ref[:, R_DW, :] = wr(R_DW, -1.0)
+            rs_ref[:, R_ORD, :] = wr(R_ORD, 1.0)
+            rs_ref[:, R_X0X, :] = wr(R_X0X, row(TB_X0X))
+            rs_ref[:, R_X0Y, :] = wr(R_X0Y, row(TB_X0Y))
+            rs_ref[:, R_X0Z, :] = wr(R_X0Z, row(TB_X0Z))
+            rs_ref[:, R_STEPTOT, :] = wr(R_STEPTOT, 0.0)
+            rs_ref[:, R_ERGL, :] = wr(R_ERGL, row(TB_ERG))
+            rs_ref[:, R_LNT1L, :] = wr(R_LNT1L, row(TB_LNT1))
+            for jq in range(UU):
+                us_ref[:, jq, :] = jnp.where(t2, row(TB_UNI + jq),
+                                             us_ref[:, jq, :])
+            for s_ in range(QD):
+                qs_ref[:, 16 * s_ + Q_ST, :] = jnp.where(
+                    t2, 0.0, qs_ref[:, 16 * s_ + Q_ST, :])
+            for f_ in range(NF):
+                fs_ref[:, 16 * f_ + F_VALID, :] = jnp.where(
+                    t2, 0.0, fs_ref[:, 16 * f_ + F_VALID, :])
+            # fresh integrator state for the refilled lanes (the relaunch
+            # engine's _reinit, with the just-written erg / lnt1 rows)
+            erg2 = rs_ref[:, R_ERGL, :]
+            lnt1_2 = rs_ref[:, R_LNT1L, :]
+            f_n = _rhs(C, u2, lnt2, erg2, is_ph2)
+            g_n = _condition(C, u2, lnt2)
+            dt_n = _hairer_dt(C, u2, f_n, lnt2, lnt1_2)
+            f02 = tuple(jnp.where(t2, fn, fo) for fn, fo in zip(f_n, f0))
+            g02 = jnp.where(t2, g_n, g0)
+            dt2 = jnp.where(t2, dt_n, dt)
+            return (done2, u2, u_lo2, lnt2, lnt_lo2, dt2, f02, g02,
+                    steps2, lnt_ck2, is_ph2, qhead2)
+
+        (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps, lnt_ck, is_ph,
+         qhead) = lax.cond(do_ref, _refill, lambda a: a,
+                           (done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0,
+                            steps, lnt_ck, is_ph, qhead))
+        out = step_body((done_f, u, u_lo, lnt, lnt_lo, dt, f0, g0, steps,
+                         lnt_ck, is_ph, it))
+        return out + (qhead,)
+
+    def cond_rf(carry):
+        done_f, it, qhead = carry[0], carry[-2], carry[-1]
+        return jnp.logical_and(
+            it < T.it_cap,
+            jnp.logical_or(jnp.min(done_f) < 0.5, qhead < nv))
+
+    ub = tuple(zrow + v for v in (3.0 * C.r_ns, 1.0, 1.0, 0.1, 0.1, 0.1,
+                                  -C.mass_a))
+    carry = (zrow + 1.0, ub, tuple(zrow for _ in range(7)), zrow, zrow,
+             zrow + 1e-3, tuple(zrow for _ in range(7)), zrow, zrow, zrow,
+             zrow + 1.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    out = lax.while_loop(cond_rf, body_rf, carry)
+    it = out[-2]
+
+    # post-loop flush: the lanes' last events (never refilled out)
+    evid = rs_ref[0, R_EVID, :]
+    _flush(evid, jnp.where(evid >= 0, 1.0, 0.0), it)
+
+
+def tree_refill_launch(tbl, sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig,
+                       *, nf: int, qd: int, epart: int, refill_k: int,
+                       n_events: int, it_cap: int, lanes: int = 128,
+                       interpret: bool = False):
+    """pallas_call over per-tile event partitions.  tbl [R, 16+UU, EPART]
+    (f32, row layout at TB_*); returns evout [R, 16+NF*16, EPART]."""
+    R, tblr, ep = tbl.shape
+    assert ep == epart
+    uu = tblr - TB_UNI
+    f32 = jnp.float32
+    C = SceneConsts(sc, cfg)
+    C.species = "mixed"
+    T = TreeConsts(tcfg, nf=nf, qd=qd, uu=uu, it_cap=it_cap, epart=epart,
+                   refill_k=refill_k, n_events=n_events, lanes=lanes)
+    kernel = functools.partial(_tree_kernel_refill, C=C, T=T)
+    evr = EV_FIN + nf * 16
+    bs = lambda d: pl.BlockSpec((1, d, epart), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        evout = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, evr, epart), f32),
+            grid=(R,),
+            in_specs=[bs(tblr)],
+            out_specs=bs(evr),
+            scratch_shapes=[
+                pltpu.VMEM((1, qd * 16, lanes), f32),
+                pltpu.VMEM((1, REG_ROWS, lanes), f32),
+                pltpu.VMEM((1, uu, lanes), f32),
+                pltpu.VMEM((1, nf * 16, lanes), f32),
+            ],
+            interpret=interpret,
+        )(tbl)
+    return evout
+
+
 def _ceil_to(n, m):
     return ((n + m - 1) // m) * m
 
@@ -853,15 +1142,63 @@ def forward_tree_kernel(key, xpos, k_init, erg_inf, sc: Scene,
     # pre-drawn per-node uniforms: fold_in(event_key, node_index), the host
     # engine's exact stream (tree.forward_tree's u32 helper)
     node_ix = jnp.arange(1, UU + 1, dtype=jnp.int32)
-    uni = jax.vmap(lambda kk: jax.vmap(
+    uni_raw = jax.vmap(lambda kk: jax.vmap(
         lambda ix: jax.random.uniform(jax.random.fold_in(kk, ix),
                                       dtype=f32))(node_ix))(keys)
-    uni = pad(uni)
+    uni = pad(uni_raw)
     qin = jnp.zeros((Bp, QD * 16), f32)
 
     it_full = (tcfg.max_nodes + 2) * (int(cfg.max_steps) + 2)
     chunk = int(cfg.tree_kernel_chunk)
-    if chunk <= 0:
+    refill = int(getattr(cfg, "tree_refill", 0))
+    if os.environ.get("TREEK_REFILL") is not None:
+        refill = int(os.environ["TREEK_REFILL"])
+    if refill:
+        # --- in-kernel refill engine: one launch, lanes pull events from a
+        # per-tile queue (docstring of _tree_kernel_refill) ---
+        EPc = 1024 if refill == 1 else max(int(refill), 128)
+        EP = min(_ceil_to(E, 128), _ceil_to(EPc, 128))
+        Bp2 = _ceil_to(E, EP)
+        rk = max(int(getattr(cfg, "tree_refill_k", 8)), 1)
+        if os.environ.get("TREEK_REFILL_K") is not None:
+            rk = int(os.environ["TREEK_REFILL_K"])
+
+        def pad2(a):
+            if Bp2 == E:
+                return a
+            return jnp.pad(a, [(0, Bp2 - E)] + [(0, 0)] * (a.ndim - 1))
+
+        tblr = TB_UNI + UU
+        rows = jnp.zeros((Bp2, tblr), f32)
+        rows = rows.at[:, TB_U0:TB_U0 + 7].set(pad2(u0).astype(f32))
+        rows = rows.at[:, TB_LNT].set(pad2(lnt0).astype(f32))
+        rows = rows.at[:, TB_ERG].set(pad2(erg_inf).astype(f32))
+        rows = rows.at[:, TB_LNT1].set(
+            jnp.zeros(Bp2, f32) + jnp.asarray(lnt_end, f32))
+        rows = rows.at[:, TB_PROB0].set(pad2(prob0).astype(f32))
+        rows = rows.at[:, TB_X0X].set(pad2(xpos[:, 0]).astype(f32))
+        rows = rows.at[:, TB_X0Y].set(pad2(xpos[:, 1]).astype(f32))
+        rows = rows.at[:, TB_X0Z].set(pad2(xpos[:, 2]).astype(f32))
+        rows = rows.at[:, TB_UNI:].set(pad2(uni_raw).astype(f32))
+        tbl = rows.T.reshape(tblr, Bp2 // EP, EP).transpose(1, 0, 2)
+        cap = min(it_full * EP, 2**31 - 2)
+        lanes = int(os.environ.get("TREEK_LANES", "128"))  # tests: tiny tiles
+        ev = tree_refill_launch(tbl, sc, cfg, tcfg, nf=NF, qd=QD, epart=EP,
+                                refill_k=rk, n_events=E, it_cap=cap,
+                                lanes=lanes)
+        ev = ev.transpose(1, 0, 2).reshape(-1, Bp2)[:, :E]
+        auxout = jnp.zeros((E, AUX_ROWS), f32)
+        auxout = auxout.at[:, A_INFO].set(ev[EV_INFO])
+        auxout = auxout.at[:, A_COUNT].set(ev[EV_COUNT])
+        auxout = auxout.at[:, A_CMAIN].set(ev[EV_CMAIN])
+        auxout = auxout.at[:, A_TOTP].set(ev[EV_TOTP])
+        auxout = auxout.at[:, A_ANOM].set(ev[EV_ANOM])
+        auxout = auxout.at[:, A_NALLOC].set(ev[EV_NALLOC])
+        auxout = auxout.at[:, A_STEPTOT].set(ev[EV_STEPS])
+        auxout = auxout.at[:, A_ITERS].set(ev[EV_ITERS])
+        auxout = auxout.at[:, A_DONE].set(ev[EV_DONE])
+        fin = ev[EV_FIN:].T
+    elif chunk <= 0:
         _, auxout, _, fin = tree_kernel_launch(
             uin, aux, uni, qin, sc, cfg, tcfg, nf=NF, qd=QD, it_cap=it_full)
     else:

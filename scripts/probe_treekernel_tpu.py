@@ -60,8 +60,16 @@ VARIANTS = {
     "stream128": NumericsConfig(**base, tree_window=min(128, S)),
 }
 for ch in os.environ.get("CHUNKS", "0,256").split(","):
-    VARIANTS[f"kernel_ch{ch}"] = NumericsConfig(
-        **base, tree_engine="kernel", tree_kernel_chunk=int(ch))
+    if ch:
+        VARIANTS[f"kernel_ch{ch}"] = NumericsConfig(
+            **base, tree_engine="kernel", tree_kernel_chunk=int(ch))
+# in-kernel refill engine variants: REFILLS = comma list of tree_refill
+# values (1 = auto 1024-event partitions), RK = refill boundary period
+for rf in os.environ.get("REFILLS", "").split(","):
+    if rf:
+        VARIANTS[f"refill_{rf}_k{os.environ.get('RK', '8')}"] = \
+            NumericsConfig(**base, tree_engine="kernel", tree_refill=int(rf),
+                           tree_refill_k=int(os.environ.get("RK", "8")))
 
 fns = {n: jax.jit(lambda ks, x, k, e, _c=c: tree.forward_tree(
     ks, x, k, e, SC, _c, tcfg, lnt_end=LNT_END)) for n, c in VARIANTS.items()}
