@@ -143,6 +143,13 @@ class NumericsConfig:
     # first-class performance control.  Set stall_window=0 to disable.
     stall_window: int = static_field(1024)
     stall_min_progress: Any = 1e-8
+    # Megakernel RHS gradient mode: "vjp" (one reverse-mode pass of the
+    # nondimensionalized Hamiltonian) or "hand" (analytic adjoint,
+    # megakernel._grad_h_hand — exploits the dipole r^-3 scaling, the
+    # M_r/M_t angular rotation and the metric-independence of bmag to cut
+    # the division/sqrt count AD cannot remove).  Both validated to ~2e-7
+    # median vs the f64 pool RHS (tests/test_megakernel.py).
+    rhs_mode: str = static_field("vjp")
     # Propagation engine for the tree/backtrace propagations: "pool" (XLA
     # pool integrator, reference default), "mega" (Pallas megakernel — TPU
     # only; ops/megakernel.py), or "pool_compact" (pool with the backtrace

@@ -141,7 +141,10 @@ def _ff_add(hi, lo, d):
 
 def can_prob(sc: Scene) -> bool:
     """In-kernel conversion probability covers the production configuration
-    only: anisotropic Melrose dispersion, no boundary layer, curved space."""
+    only: anisotropic Melrose dispersion, no boundary layer, curved space.
+    (Propagation itself — the RHS and the crossing condition — DOES cover
+    bndry_lyr > 0 in-kernel, see _bndry_t; only the probability kernel and
+    therefore the in-kernel tree engine fall back to the host chain.)"""
     return (bool(sc.melrose) and not bool(sc.isotropic)
             and not bool(sc.flat) and float(sc.bndry_lyr) <= 0)
 
@@ -217,6 +220,20 @@ class SceneConsts:
             / (self.mass_a * C_KM * HBAR)
         )
         self.can_prob = can_prob(sc)
+        # --- boundary-layer plasma addition (RayTracer.jl:1155-1162) ---
+        # pole_val = omega_p at bz = b0, i.e. mass_a * sqrt(wp2_scale); kept
+        # in mass_a units like everything in the nondimensionalized kernel.
+        # rmax is the aligned-dipole conversion-surface radius.  Trace-time
+        # static: bndry_lyr <= 0 compiles the term away entirely.
+        self.bndry_lyr = float(sc.bndry_lyr)
+        self.has_bndry = self.bndry_lyr > 0.0
+        self.bndry_pole_t = math.sqrt(self.wp2_scale)
+        self.bndry_rmax = self.r_ns * self.bndry_pole_t ** (2.0 / 3.0)
+        # RHS gradient mode: "hand" (analytic adjoint exploiting the dipole/
+        # metric algebra, _grad_h_hand) or "vjp" (one reverse-mode pass of
+        # _hamiltonian_nd).  Env override for one-process A/B probes, like
+        # MEGA_PROFILE.
+        self.rhs_mode = os.environ.get("MEGA_RHS", str(cfg.rhs_mode))
 
 
 def _metric(C, r, sin_th, rs0=None):
@@ -256,6 +273,18 @@ def _dipole(C, r, cz, sin_th, cphi, sphi, time):
     a = abs(C.b0)
     br, btheta, bphi = _dipole_unit(C, r, cz, sin_th, cphi, sphi, time)
     return a * br, a * btheta, a * bphi
+
+
+def _bndry_t(C, r):
+    """Boundary-layer omega_p addition in mass_a units
+    (models/magnetosphere._bndry_lyr_term, RayTracer.jl:1155-1162).  The
+    reference applies the term for r >= r_NS and then zeroes the whole wp at
+    r <= r_NS (zero_in), so the net support is r > r_NS.  AD through _exp32
+    is exact: the bitcast 2^n factor is constant w.r.t. the input (round has
+    zero gradient) and the polynomial differentiates to itself."""
+    term = C.bndry_pole_t * (C.r_ns / r) ** 1.5 * _exp32(
+        -(r - C.bndry_rmax * C.bndry_lyr) / (0.1 * C.bndry_rmax))
+    return jnp.where(r > C.r_ns, term, 0.0)
 
 
 def _omega_p(C, br, btheta, cz, sin_th, r, zero_in=True):
@@ -303,6 +332,35 @@ def _ham_axion_nd(C, x1, x2, x3, kt1, kt2, kt3, ergt):
                   + g_pp * kt3**2)
 
 
+def _ham_bndry_diff_nd(C, x1, x2, x3, kt1, kt2, kt3, time, ergt):
+    """H_full - H_no-bndry of the nondim photon Hamiltonian when the
+    boundary layer is on: the wp^2 excess 0.5*(2*wp*bt + bt^2) times the
+    Melrose anisotropy factor (e2 - kp^2)/e2.  bt itself is
+    time-independent; the time dependence enters via wp(t) and kp(t) (the
+    rotating dipole), so the RHS's boundary-layer time-derivative quirk
+    (RayTracer.jl:84-88, ops/propagate.py:151-154) reduces to one scalar jvp
+    of this function.  Only compiled when C.has_bndry."""
+    r = jnp.maximum(x1, C.r_ns)
+    s_th, c_th = _sincos(x2)
+    s_ph, c_ph = _sincos(x3)
+    _, g_rr, g_thth, g_pp = _metric(C, r, s_th)
+    br, btheta, bphi = _dipole_unit(C, r, c_th, s_th, c_ph, s_ph, time)
+    bz = br * c_th - btheta * s_th
+    wp2t = C.wp2_scale * jnp.abs(bz)
+    wpt = jnp.sqrt(jnp.where(r <= C.r_ns, 0.0, wp2t))
+    bt = _bndry_t(C, r)
+    dwp2 = 2.0 * wpt * bt + bt * bt
+    if C.isotropic:
+        return 0.5 * dwp2
+    bl_r = br / jnp.sqrt(g_rr)
+    bl_t = btheta / jnp.sqrt(g_thth)
+    bl_p = bphi / jnp.sqrt(g_pp)
+    bmag = jnp.sqrt(g_rr * bl_r**2 + g_thth * bl_t**2 + g_pp * bl_p**2)
+    kp = (g_rr * kt1 * bl_r + g_thth * kt2 * bl_t + g_pp * kt3 * bl_p) / bmag
+    e2 = ergt**2 / g_rr
+    return 0.5 * dwp2 * (e2 - kp**2) / e2
+
+
 def _condition(C, u, lnt):
     """Thick-surface crossing condition (ops/propagate.py:crossing_condition)."""
     x1, x2, x3, w1, w2, w3, e7 = u
@@ -316,6 +374,10 @@ def _condition(C, u, lnt):
     s_ph, c_ph = _sincos(x3)
     br, btheta, bphi = _dipole(C, r, c_th, s_th, c_ph, s_ph, t)
     wp = _omega_p(C, br, btheta, c_th, s_th, r)
+    if C.has_bndry:
+        # crossing condition includes the boundary-layer wp addition
+        # (RayTracer.jl:262-296 via GJ_Model_ωp_vecSPH; physical units here)
+        wp = wp + C.mass_a * _bndry_t(C, r)
     if C.isotropic:
         kp = jnp.zeros_like(wp)
     else:
@@ -437,6 +499,175 @@ def _prob_nd(C, u, erg):
     return jnp.clip(1.0 - _exp32(-p_nonad), 0.0, 1.0)
 
 
+def _grad_h_hand(C, x1, x2, x3, kt1, kt2, kt3, time, ergt_ph, ergt_ax,
+                 photon):
+    """Hand adjoint of the nondimensionalized Hamiltonians: returns
+    (dH~/dx(3), dH~/dk~(3), dH~/dt) in the same nondim units as the vjp of
+    _hamiltonian_nd/_ham_axion_nd in _rhs, but with the chain rule applied
+    by hand so the algebraic structure AD cannot see is exploited:
+
+      * every dipole component scales r^-3, so d(b_i)/dr = -3 b_i/r and
+        d(bmag^2)/dr = -6 bmag^2/r — no field re-evaluation;
+      * dM_r/dtheta = -M_t and dM_t/dtheta = M_r (the dipole angular
+        factors rotate into each other), so db_r/dth = -2 b_th,
+        db_th/dth = b_r/2, and the phi/time derivatives reduce to b_phi
+        and omega*sin/cos products already in registers;
+      * bmag^2 = br^2 + bth^2 + bph^2 exactly (the g_ii/sqrt(g_ii) factors
+        cancel), so kp needs ONE reciprocal instead of three divides and
+        a sqrt;
+      * all three k-gradients of the Melrose term share one factor
+        lam = wp2 * A * n / (ergt^2 * bmag^2).
+
+    The photon branch is exterior-only (its r is clamped to >= r_NS and the
+    frozen zone x1 <= 1.01 r_NS zeroes the output below that); the axion
+    branch needs the interior-continuation metric, which is covered exactly
+    by one scalar jvp through _metric (gradients of a 4-tuple of r-only
+    functions).  The boundary-layer time-derivative quirk (RayTracer.jl:
+    84-88) is folded in analytically when C.has_bndry.
+
+    Validated against the pool's f64 make_rhs by
+    tests/test_megakernel.py::test_rhs_{hand,reverse_mode}_matches_pool_f64."""
+    z32 = jnp.zeros_like(x1)
+    s_th, c_th = _sincos(x2)
+
+    # ---- axion branch (metric-only; zero time/phi gradients) ----
+    if C.species != "photon":
+        (_, grr_a, gthth_a, gpp_a), (dgtt, dgrr, dgthth, dgpp) = jax.jvp(
+            lambda rr: _metric(C, rr, s_th), (x1,), (jnp.ones_like(x1),))
+        ax_k = (grr_a * kt1, gthth_a * kt2, gpp_a * kt3)
+        ax_r = 0.5 * (dgtt * ergt_ax**2 + dgrr * kt1**2 + dgthth * kt2**2
+                      + dgpp * kt3**2)
+        ax_th = -gpp_a * (c_th / s_th) * kt3**2  # 0.5 * dg_pp/dth * kt3^2
+        if C.species == "axion":
+            return ((ax_r, ax_th, z32), ax_k, z32)
+
+    # ---- photon branch (exterior metric at r >= r_NS) ----
+    s_ph, c_ph = _sincos(x3)
+    r = jnp.maximum(x1, C.r_ns)
+    inv_r = 1.0 / r
+    A = 1.0 - C.rs0 * inv_r                 # = g_rr (exterior)
+    inv_A = 1.0 / A
+    inv_s = 1.0 / s_th
+    inv_r2 = inv_r * inv_r
+    g_pp = inv_r2 * inv_s * inv_s
+    dA_dr = C.rs0 * inv_r2
+    E = 1.0 / (ergt_ph * ergt_ph)
+
+    swt, cwt = _sincos(C.omega * time)
+    cp = c_ph * cwt + s_ph * swt            # cos(phi - omega t)
+    sp = s_ph * cwt - c_ph * swt            # sin(phi - omega t)
+    bnorm = C.b0_sign * 0.5 * (C.r_ns * inv_r) ** 3
+    m_r = C.cm * c_th + C.sm * s_th * cp
+    m_t = C.cm * s_th - C.sm * c_th * cp
+    br = 2.0 * bnorm * m_r
+    bth = bnorm * m_t
+    bph = bnorm * C.sm * sp
+    bz = br * c_th - bth * s_th
+    sgn_bz = jnp.sign(bz)
+    wp2 = C.wp2_scale * jnp.abs(bz)
+
+    # dksqr/d* (ksqr = -ergt^2/A + A kt1^2 + kt2^2/r^2 + g_pp kt3^2)
+    dksqr_r = (ergt_ph**2 * inv_A * inv_A + kt1**2) * dA_dr \
+        - 2.0 * inv_r2 * inv_r * (kt2**2 + inv_s * inv_s * kt3**2)
+    dinv_s = -inv_s * inv_s * c_th          # d(1/sin)/dth
+    dksqr_th = 2.0 * inv_r2 * inv_s * dinv_s * kt3**2
+
+    if C.isotropic:
+        # H = 0.5 (ksqr + wp2): no Melrose anisotropy chain at all
+        dbz_r = -3.0 * bz * inv_r
+        dbz_th = -3.0 * bth * c_th - 1.5 * br * s_th
+        dbz_ph = -3.0 * s_th * c_th * bph
+        dbz_t = 3.0 * bnorm * C.sm * s_th * c_th * C.omega * sp
+        w_fac = C.wp2_scale * sgn_bz
+        ph_r = 0.5 * (dksqr_r + w_fac * dbz_r)
+        ph_th = 0.5 * (dksqr_th + w_fac * dbz_th)
+        ph_ph = 0.5 * w_fac * dbz_ph
+        ph_k = (A * kt1, inv_r2 * kt2, g_pp * kt3)
+        ph_t = 0.5 * w_fac * dbz_t
+        if C.has_bndry:
+            wpt = jnp.sqrt(jnp.maximum(wp2, 1e-30))
+            bt = _bndry_t(C, r)
+            ph_t = ph_t + 0.5 * (bt / wpt) * w_fac * dbz_t
+    else:
+        sqA = jnp.sqrt(A)
+        q1 = sqA * kt1
+        q2 = inv_r * kt2
+        q3 = inv_r * inv_s * kt3
+        n = q1 * br + q2 * bth + q3 * bph
+        bm2 = br * br + bth * bth + bph * bph
+        inv_bm2 = 1.0 / bm2
+        kp2 = n * n * inv_bm2
+        F = 1.0 - kp2 * A * E
+        lam = wp2 * A * E * n * inv_bm2     # shared k-gradient factor
+        ph_k = (A * kt1 - lam * sqA * br,
+                inv_r2 * kt2 - lam * inv_r * bth,
+                g_pp * kt3 - lam * inv_r * inv_s * bph)
+
+        w_fac = C.wp2_scale * sgn_bz        # dwp2 = w_fac * dbz
+        aE = A * E
+
+        # --- r ---
+        dn_r = (0.5 * dA_dr / sqA) * kt1 * br - 3.0 * inv_r * n \
+            - inv_r * (q2 * bth + q3 * bph)
+        dkp2_r = inv_bm2 * 2.0 * n * dn_r + 6.0 * kp2 * inv_r
+        dwp2_r = -3.0 * wp2 * inv_r
+        dF_r = -E * (dkp2_r * A + kp2 * dA_dr)
+        ph_r = 0.5 * (dksqr_r + dwp2_r * F + wp2 * dF_r)
+
+        # --- theta ---
+        dbr_th = -2.0 * bth
+        dbth_th = 0.5 * br
+        dbz_th = -3.0 * bth * c_th - 1.5 * br * s_th
+        dq3_th = inv_r * kt3 * dinv_s
+        dn_th = q1 * dbr_th + q2 * dbth_th + dq3_th * bph
+        dbm2_th = -3.0 * br * bth
+        dkp2_th = inv_bm2 * (2.0 * n * dn_th - kp2 * dbm2_th)
+        ph_th = 0.5 * (dksqr_th + w_fac * dbz_th * F - wp2 * aE * dkp2_th)
+
+        # --- phi ---
+        dbr_ph = -2.0 * s_th * bph
+        dbth_ph = c_th * bph
+        dbph_ph = bnorm * C.sm * cp
+        dbz_ph = -3.0 * s_th * c_th * bph
+        dn_ph = q1 * dbr_ph + q2 * dbth_ph + q3 * dbph_ph
+        dbm2_ph = 2.0 * (br * dbr_ph + bth * dbth_ph + bph * dbph_ph)
+        dkp2_ph = inv_bm2 * (2.0 * n * dn_ph - kp2 * dbm2_ph)
+        ph_ph = 0.5 * (w_fac * dbz_ph * F - wp2 * aE * dkp2_ph)
+
+        # --- time (rotating dipole: cp' = omega sp, sp' = -omega cp) ---
+        bs = bnorm * C.sm
+        wsp = C.omega * sp
+        dbr_t = 2.0 * bs * s_th * wsp
+        dbth_t = -bs * c_th * wsp
+        dbph_t = -bs * C.omega * cp
+        dbz_t = 3.0 * bs * s_th * c_th * wsp
+        dn_t = q1 * dbr_t + q2 * dbth_t + q3 * dbph_t
+        dbm2_t = 2.0 * (br * dbr_t + bth * dbth_t + bph * dbph_t)
+        dkp2_t = inv_bm2 * (2.0 * n * dn_t - kp2 * dbm2_t)
+        dwp2_t = w_fac * dbz_t
+        ph_t = 0.5 * (dwp2_t * F - wp2 * aE * dkp2_t)
+        if C.has_bndry:
+            # boundary-layer excess 0.5*(2 wpt bt + bt^2)*F enters the TIME
+            # derivative only (the spatial quirk): d/dt = 0.5*((bt/wpt)*
+            # dwp2_t*F + (2 wpt bt + bt^2)*dF_t), bt time-independent
+            wpt = jnp.sqrt(jnp.maximum(wp2, 1e-30))
+            bt = _bndry_t(C, r)
+            dwp2b = 2.0 * wpt * bt + bt * bt
+            dF_t = -aE * dkp2_t
+            ph_t = ph_t + 0.5 * ((bt / wpt) * dwp2_t * F + dwp2b * dF_t)
+
+    # photon spatial gradients are gated at the r-clamp (d max(x1,r_NS)/dx1)
+    live = x1 > C.r_ns
+    ph_r = jnp.where(live, ph_r, 0.0)
+    if C.species == "photon":
+        return ((ph_r, ph_th, ph_ph), ph_k, ph_t)
+    w = jnp.where
+    return ((w(photon, ph_r, ax_r), w(photon, ph_th, ax_th),
+             w(photon, ph_ph, z32)),
+            tuple(w(photon, p, a) for p, a in zip(ph_k, ax_k)),
+            w(photon, ph_t, z32))
+
+
 def _rhs(C, u, lnt, erg, is_ph):
     """Mixed-species Hamilton equations via ONE reverse-mode vjp of the
     nondimensionalized Hamiltonian (ops/propagate.py:make_rhs).  All 7
@@ -460,6 +691,22 @@ def _rhs(C, u, lnt, erg, is_ph):
     ergt_ph = -e7 * inv_ma
     ergt_ax = erg * inv_ma
 
+    if getattr(C, "rhs_mode", "vjp") == "hand":
+        gx, gk, gt = _grad_h_hand(C, x1, x2, x3, kt1, kt2, kt3, time,
+                                  ergt_ph, ergt_ax, photon)
+        ma2 = C.mass_a * C.mass_a
+        dh_x = tuple(gi * ma2 for gi in gx)
+        dh_k = tuple(gi * C.mass_a for gi in gk)
+        dh_t = gt * ma2
+        denom = jnp.where(photon, -e7, erg)
+        fac = C_KM * t * g_rr / denom
+        du_x = tuple(d * fac for d in dh_k)
+        du_w = tuple(-d * fac / erg for d in dh_x)
+        du_e7 = jnp.where(photon, dh_t * t * g_rr / (-e7), 0.0)
+        frozen = (x1 <= C.r_ns * 1.01) & photon
+        z = jnp.where
+        return tuple(z(frozen, 0.0, d) for d in (du_x + du_w + (du_e7,)))
+
     if C.species == "photon":
         def h7(a1, a2, a3, b1, b2, b3, tt):
             return _hamiltonian_nd(C, a1, a2, a3, b1, b2, b3, tt, ergt_ph)
@@ -478,6 +725,19 @@ def _rhs(C, u, lnt, erg, is_ph):
     dh_x = tuple(gi * ma2 for gi in g[0:3])       # dH/dx  = ma^2 dH~/dx
     dh_k = tuple(gi * C.mass_a for gi in g[3:6])  # dH/dk  = ma   dH~/dk~
     dh_t = g[6] * ma2                             # dH/dt  = ma^2 dH~/dt
+    if C.has_bndry and C.species != "axion":
+        # Boundary-layer quirk (RayTracer.jl:84-88 via ops/propagate.py
+        # make_rhs): the photon's SPATIAL gradients exclude the bndry wp
+        # term while its TIME derivative includes it — so h7 above stays
+        # bndry-free and the time derivative gains one scalar jvp of the
+        # Hamiltonian excess.  dh_t only feeds du_e7, which is already
+        # masked to photon lanes below.
+        def hdiff(tt):
+            return _ham_bndry_diff_nd(C, x1, x2, x3, kt1, kt2, kt3, tt,
+                                      ergt_ph)
+
+        dh_t = dh_t + jax.jvp(hdiff, (time,),
+                              (jnp.ones_like(time),))[1] * ma2
 
     denom = jnp.where(photon, -e7, erg)
     fac = C_KM * t * g_rr / denom

@@ -326,3 +326,192 @@ def test_gated_scan_matches_plain():
     np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(p[0]))  # u_final
     assert float(np.asarray(g[11]).max()) > 0          # the gate did fire
     assert float(np.asarray(p[11]).max()) == 0.0       # plain never gates
+
+
+def test_bndry_lyr_rhs_matches_pool_f64():
+    """Boundary-layer scene (bndry_lyr > 0) on the megakernel RHS: the
+    in-kernel time-derivative quirk (_ham_bndry_diff_nd jvp — spatial
+    gradients exclude the bndry wp term, the time derivative includes it;
+    RayTracer.jl:84-88) matches the pool's f64 make_rhs, and the term is
+    live (du_e7 differs from the bndry-free scene).  Guards the round-4
+    hole where the megakernel silently integrated the wrong Hamiltonian
+    under --bndry_lyr."""
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import make_rhs
+
+    sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+               r_ns=10.0, mass_ns=1.0, bndry_lyr=0.5)
+    C = mk.SceneConsts(sc, NumericsConfig())
+    C.species = "mixed"
+    assert C.has_bndry
+
+    rng = np.random.default_rng(3)
+    N = 256
+    # sample where the exponential boundary layer is live: around
+    # rmax*bndry_lyr +/- 3 decay lengths (decay length = 0.1*rmax)
+    center = C.bndry_rmax * C.bndry_lyr
+    r = rng.uniform(max(11.5, center - 0.3 * C.bndry_rmax),
+                    center + 0.3 * C.bndry_rmax, N)
+    th = rng.uniform(0.1, np.pi - 0.1, N)
+    ph = rng.uniform(-np.pi, np.pi, N)
+    w = rng.normal(size=(3, N))
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+    erg = np.full(N, 1e-5)
+    lnt = np.log(rng.uniform(1e-6, 0.5, N))
+    is_ph = (np.arange(N) % 2 == 0)
+    u7 = (r, th, ph, w[0], w[1], w[2], -erg)
+
+    got = mk._rhs(C, tuple(jnp.asarray(v, jnp.float32) for v in u7),
+                  jnp.asarray(lnt, jnp.float32), jnp.asarray(erg, jnp.float32),
+                  jnp.asarray(is_ph, jnp.float32))
+    got = np.stack([np.asarray(g, np.float64) for g in got], axis=1)
+
+    rhs = make_rhs(sc, sc.mass_ns_eff, 0.0, "mixed", "state")
+    u_vec = jnp.asarray(np.stack(u7, axis=1))
+    ref = np.asarray(jax.vmap(
+        lambda u, l, e, p: rhs(u, l, {"erg": e, "is_photon": p}))(
+        u_vec, jnp.asarray(lnt), jnp.asarray(erg), jnp.asarray(is_ph)))
+    for i in range(7):
+        scale = np.abs(ref[:, i]).max()
+        err = np.abs(got[:, i] - ref[:, i]) / (np.abs(ref[:, i]) + 1e-12 * scale)
+        m = np.abs(ref[:, i]) > 1e-6 * scale
+        assert np.median(err[m]) < 5e-6, (i, np.median(err[m]))
+        assert err[m].max() < 5e-3, (i, err[m].max())
+
+    # the quirk is LIVE: du_e7 (the only photon component the bndry term
+    # feeds) differs materially from the bndry-free scene
+    sc0 = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0, b0=1e14,
+                r_ns=10.0, mass_ns=1.0)
+    rhs0 = make_rhs(sc0, sc0.mass_ns_eff, 0.0, "mixed", "state")
+    ref0 = np.asarray(jax.vmap(
+        lambda u, l, e, p: rhs0(u, l, {"erg": e, "is_photon": p}))(
+        u_vec, jnp.asarray(lnt), jnp.asarray(erg), jnp.asarray(is_ph)))
+    d = np.abs(ref[:, 6] - ref0[:, 6]) / (np.abs(ref[:, 6]) + 1e-300)
+    assert np.median(d[is_ph]) > 0.01
+
+
+def test_bndry_lyr_backtrace_matches_pool():
+    """Boundary-layer scene end-to-end on the megakernel (interpret mode):
+    the axion backtrace finds the SAME crossings of the bndry-augmented
+    condition as the pool engine (RayTracer.jl:262-296 + 1155-1162), and
+    the crossing topology differs from the bndry-free scene — i.e. the
+    in-kernel _bndry_t term is both correct and live."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import propagate
+
+    mk_sc = dict(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
+                 b0=-1e14, r_ns=10.0, mass_ns=1.0)  # backtrace: B flipped
+    sc = Scene(**mk_sc, bndry_lyr=0.5)
+    sc0 = Scene(**mk_sc)
+    cfg = NumericsConfig(interp_points=8, compute_dtype="f32", max_steps=3000,
+                         max_crossings=8)
+    B = 16
+    # seed chosen tangency-free: every lane's consecutive crossings are well
+    # separated (min rel gap 0.82), so the interp-8 scan is unambiguous in
+    # both engines (seed 7 had a marginal tangent pair at the bndry shell)
+    rng = np.random.default_rng(8)
+    r = rng.uniform(16.0, 24.0, B)  # outside the bndry shell (~12.5 km here)
+    th = np.arccos(rng.uniform(-0.9, 0.9, B))
+    ph = rng.uniform(-np.pi, np.pi, B)
+    x = np.stack([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                  r * np.cos(th)], axis=1)
+    v = -x / np.linalg.norm(x, axis=1, keepdims=True) \
+        + 0.3 * rng.normal(size=(B, 3))  # inbound: pierce the bndry shell
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    erg = np.full(B, 1e-5 * (1 + 0.5 * (220 / 2.99792e5) ** 2))
+    args = dict(erg=jnp.asarray(erg), delta_w=-jnp.ones(B),
+                lnt0=jnp.full(B, cfg.ln_t_start),
+                lnt1=jnp.full(B, float(np.log(1e-2))),
+                is_photon=jnp.zeros(B, bool))
+    ref = propagate(jnp.asarray(x), jnp.asarray(v), sc, cfg, species="axion",
+                    max_crossings=jnp.full(B, 8, jnp.int32), **args)
+    ref0 = propagate(jnp.asarray(x), jnp.asarray(v), sc0, cfg, species="axion",
+                     max_crossings=jnp.full(B, 8, jnp.int32), **args)
+    with pltpu.force_tpu_interpret_mode():
+        got = mk.propagate_mega(jnp.asarray(x), jnp.asarray(v), sc, cfg,
+                                max_crossings=8, species="axion", **args)
+    np.testing.assert_array_equal(np.asarray(ref.n_cross),
+                                  np.asarray(got.n_cross))
+    nc = np.asarray(ref.n_cross)
+    assert nc.max() >= 1
+    # the bndry term creates crossings the bndry-free scene does not have
+    assert np.asarray(ref.n_cross).sum() != np.asarray(ref0.n_cross).sum()
+    # bndry-shell crossings sit on a shallow exponential plateau of the
+    # condition, so f32 root noise maps to larger position error than the
+    # steep GJ-only crossings (1e-3 there): allow 1% worst-case, 0.1% median
+    rels = []
+    for b in range(B):
+        for s in range(int(nc[b])):
+            rr = np.linalg.norm(np.asarray(ref.xc[b, s]))
+            rg = np.linalg.norm(np.asarray(got.xc[b, s]))
+            rels.append(abs(rg - rr) / rr)
+            assert rels[-1] < 1e-2, (b, s, rr, rg)
+    assert np.median(rels) < 1e-3, np.median(rels)
+
+
+def test_rhs_hand_adjoint_matches_pool_f64():
+    """The analytic hand-adjoint RHS (megakernel._grad_h_hand,
+    cfg.rhs_mode="hand") matches the pool's f64 make_rhs to the same
+    accuracy as the vjp mode, across aniso/iso/bndry scenes and the
+    interior-continuation metric branch (axion lanes below r_NS, covered
+    by the scalar jvp through _metric)."""
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+    from adiabatic_raytracer_tpu.ops.propagate import make_rhs
+
+    base = dict(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
+                b0=1e14, r_ns=10.0, mass_ns=1.0)
+    scenes = {
+        "aniso": Scene(**base),
+        "iso": Scene(**base, isotropic=True),
+        "bndry": Scene(**base, bndry_lyr=0.5),
+        "backtrace": Scene(**{**base, "b0": -1e14}),
+    }
+    rng = np.random.default_rng(3)
+    N = 256
+    r = rng.uniform(6.0, 40.0, N)  # includes interior (axion lanes only)
+    th = rng.uniform(0.1, np.pi - 0.1, N)
+    ph = rng.uniform(-np.pi, np.pi, N)
+    w = rng.normal(size=(3, N))
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+    erg = np.full(N, 1e-5)
+    lnt = np.log(rng.uniform(1e-6, 0.5, N))
+    is_ph = (np.arange(N) % 2 == 0) & (r > 11.5)
+    u7 = (r, th, ph, w[0], w[1], w[2], -erg)
+    a32 = lambda v: jnp.asarray(v, jnp.float32)
+
+    for name, sc in scenes.items():
+        Ch = mk.SceneConsts(sc, NumericsConfig(rhs_mode="hand"))
+        Cv = mk.SceneConsts(sc, NumericsConfig())
+        Ch.species = Cv.species = "mixed"
+        assert Ch.rhs_mode == "hand" and Cv.rhs_mode == "vjp"
+        gh = mk._rhs(Ch, tuple(a32(v) for v in u7), a32(lnt), a32(erg),
+                     a32(is_ph))
+        gv = mk._rhs(Cv, tuple(a32(v) for v in u7), a32(lnt), a32(erg),
+                     a32(is_ph))
+        gh = np.stack([np.asarray(g, np.float64) for g in gh], axis=1)
+        gv = np.stack([np.asarray(g, np.float64) for g in gv], axis=1)
+        rhs = make_rhs(sc, sc.mass_ns_eff, 0.0, "mixed", "state")
+        u_vec = jnp.asarray(np.stack(u7, axis=1))
+        ref = np.asarray(jax.vmap(
+            lambda u, l, e, p: rhs(u, l, {"erg": e, "is_photon": p}))(
+            u_vec, jnp.asarray(lnt), jnp.asarray(erg), jnp.asarray(is_ph)))
+        for i in range(7):
+            scale = np.abs(ref[:, i]).max()
+            if scale == 0.0:
+                assert np.abs(gh[:, i]).max() == 0.0
+                continue
+            m = np.abs(ref[:, i]) > 1e-6 * scale
+            eh = np.abs(gh[:, i] - ref[:, i]) / (np.abs(ref[:, i])
+                                                 + 1e-12 * scale)
+            ev = np.abs(gv[:, i] - ref[:, i]) / (np.abs(ref[:, i])
+                                                 + 1e-12 * scale)
+            assert np.median(eh[m]) < 5e-6, (name, i, np.median(eh[m]))
+            # no worse than the vjp mode anywhere (both are f32 vs f64;
+            # the deep-interior lanes share a known f32 artifact)
+            assert eh[m].max() < max(5e-3, 2.0 * ev[m].max()), \
+                (name, i, eh[m].max(), ev[m].max())
