@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-launch iteration budget of the in-kernel tree "
                         "engine's staged straggler compaction; 0 = one "
                         "launch per batch (no compaction)")
+    p.add_argument("--scan_gate_check", type=int, default=-1,
+                   help="per-scene gated-event-scan census validation: events "
+                        "to check once per run (driver.scan_gate_census_check; "
+                        "widens the gate or falls back to the plain dense scan "
+                        "on mismatch).  -1 = config default (256), 0 disables")
     p.add_argument("--precision", choices=["f32", "f64"], default="f64")
     p.add_argument("--computeDtype", choices=["auto", "state", "f32"], default="auto",
                    help="physics-evaluation dtype; auto = f32 on TPU, f64 on CPU")
@@ -178,7 +183,9 @@ def main(argv=None) -> int:
     cfg = NumericsConfig(atol=1e-6, rtol=1e-7, compute_dtype=compute_dtype,
                          engine=engine, tree_window=args.tree_window,
                          tree_engine=tree_engine,
-                         tree_kernel_chunk=args.tree_kernel_chunk)
+                         tree_kernel_chunk=args.tree_kernel_chunk,
+                         **({"scan_gate_check": args.scan_gate_check}
+                            if args.scan_gate_check >= 0 else {}))
     tcfg = TreeConfig(prob_cutoff=args.probCutoff, num_cutoff=args.numCutoff,
                       mc_nodes=args.MCNodes, max_nodes=args.maxNodes)
 

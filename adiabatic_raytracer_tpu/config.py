@@ -132,6 +132,19 @@ class NumericsConfig:
     # each MISS 2 crossings — 4 is the safety boundary with margin.
     interp_coarse: int = static_field(4)
     scan_gate_theta: Any = 0.08
+    # Per-scene auto-validation of the gate (driver.scan_gate_census_check):
+    # the frontier above was census-validated on the production-default
+    # scene; other scenes move the resonance geometry.  When > 0 and the
+    # gate is active on the mega engine, driver.run() backtraces this many
+    # conversion-surface events once per run with the gate AND with the
+    # plain dense scan, compares the crossing censuses, and on mismatch
+    # WIDENS the gate one notch (coarse x2, theta x2) or falls back to the
+    # plain scan (recorded in RunStats.scan_gate).  0 disables the check.
+    # MEASURED NECESSARY (SCAN_GATE_r05.json, mass_a x B0 grid, v5e): the
+    # default frontier silently misses 1-3/128 events' crossings on the
+    # three largest-maxR scenes (mass_a=1e-6 at B0>=1e14 -> plain fallback;
+    # mass_a=1e-5 at B0=1e15 -> widened notch is clean).
+    scan_gate_check: int = static_field(256)
     bisect_iters: int = static_field(60)    # event root refinement iterations
     max_roots_per_step: int = static_field(3)
     max_crossings: int = static_field(16)   # crossing buffer capacity per ray
@@ -143,13 +156,19 @@ class NumericsConfig:
     # first-class performance control.  Set stall_window=0 to disable.
     stall_window: int = static_field(1024)
     stall_min_progress: Any = 1e-8
-    # Megakernel RHS gradient mode: "vjp" (one reverse-mode pass of the
-    # nondimensionalized Hamiltonian) or "hand" (analytic adjoint,
+    # Megakernel RHS gradient mode: "hand" (analytic adjoint,
     # megakernel._grad_h_hand — exploits the dipole r^-3 scaling, the
     # M_r/M_t angular rotation and the metric-independence of bmag to cut
-    # the division/sqrt count AD cannot remove).  Both validated to ~2e-7
-    # median vs the f64 pool RHS (tests/test_megakernel.py).
-    rhs_mode: str = static_field("vjp")
+    # the division/sqrt count AD cannot remove) or "vjp" (one reverse-mode
+    # pass of the nondimensionalized Hamiltonian, the round-2..4 default).
+    # Both validated to ~2e-7 median vs the f64 pool RHS
+    # (tests/test_megakernel.py).  MEASURED on the 65k production backtrace
+    # (scripts/probe_step_split.py, v5e, one process per variant, 2026-08):
+    # same-session A/B: RHS-only variant 48.0 -> 31.3 ns/lane-step (1.53x),
+    # production step 73.3 -> 56.4 ns (1.30x) — hand is the default.
+    # Committed artifacts: STEP_SPLIT_r04 (vjp) full 63.82 ns -> STEP_SPLIT_
+    # r05 (hand) full 54.74 ns, RHS share 63.9% -> 56.1%.
+    rhs_mode: str = static_field("hand")
     # Propagation engine for the tree/backtrace propagations: "pool" (XLA
     # pool integrator, reference default), "mega" (Pallas megakernel — TPU
     # only; ops/megakernel.py), or "pool_compact" (pool with the backtrace
@@ -300,6 +319,16 @@ class NumericsConfig:
     # explicit events-per-tile partition.  Takes precedence over
     # tree_kernel_chunk.  Env overrides for sweeps: TREEK_REFILL,
     # TREEK_REFILL_K.
+    # MEASURED NON-LEVER on v5e (scripts/probe_treekernel_tpu.py, S=2048
+    # deep production cutoffs, 2026-08): refill auto/k4/k8/k32 all 88-90 ms,
+    # explicit partition 512 -> 94 ms, 256 -> 118 ms, vs the relaunch
+    # engine's 82-87 ms (census class identical, 0.9897 vs 0.9902 bitwise).
+    # The per-boundary one-hot gather/scatter matmul block costs ~8% more
+    # than the intra-tile idle it recovers at the production tree depth
+    # (median event finishes in ~2 nodes, so most refill boundaries move
+    # nothing), and the faster hand-adjoint RHS only widens the gap (the
+    # refill overhead is MXU-fixed while the idle it reclaims shrank 1.3x).
+    # Kept available for deeper-tree workloads (mc_nodes >> 10).
     tree_refill: int = static_field(0)
     # Refill boundary period (iterations between queue pulls): a completed
     # lane idles at most tree_refill_k - 1 steps; smaller values refill

@@ -161,7 +161,7 @@ def main():
         # kernel variants; committed artifact) — embedded so the attribution
         # lands in BENCH_r{N}.json next to the modeled vpu_peak_frac
         split_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "STEP_SPLIT_r04.json")
+                                  "STEP_SPLIT_r05.json")
         if os.path.exists(split_path):
             with open(split_path) as f:
                 sp = json.load(f)

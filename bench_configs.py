@@ -8,9 +8,11 @@
   BENCH_CONFIG=5  axion-mass x B-field parameter scan (6 scenes, pool engine,
                   one compile via lax.map) with stiff near-resonance stepping
 
-Config 4 (misaligned-rotator phase sweep across a TPU mesh) is the mesh
-path: exercised by dryrun_multichip / tests/test_sharding.py; no standalone
-single-chip benchmark is meaningful for it.
+  BENCH_CONFIG=4  misaligned-rotator PHASE SWEEP, single-chip analogue:
+                  NP rotator phases batched into ONE megakernel launch via
+                  per-lane (lnt0, lnt1) time windows, NP pulse profiles
+                  binned on device (the mesh path — one phase per device —
+                  is exercised by dryrun_multichip / tests/test_sharding.py)
 
 Each run prints ONE JSON line in the bench.py schema.
 """
@@ -137,6 +139,78 @@ def main():
                        else "mega+ondevice_hist"),
             "compute_dtype": compute_dtype,
             "platform": platform, "config": 3,
+        }))
+        return 0
+
+    if config == 4:
+        # Single-chip analogue of the misaligned-rotator PHASE SWEEP
+        # (BASELINE.md config 4 — the reference fans one process per rotator
+        # phase, runner_example.sh:4-9; the mesh path shards it over devices,
+        # tests/test_sharding.py).  The rotator phase enters the physics only
+        # through the dipole orientation at time t (omega_pul * t), and the
+        # integrator takes PER-LANE (lnt0, lnt1) — so NP phases batch into
+        # ONE megakernel launch: lane (p, i) integrates the same window
+        # shifted to t_p = p/NP * (2*pi/omega), and the NP pulse profiles
+        # are binned on device.
+        from adiabatic_raytracer_tpu.ops import megakernel as mk
+        from adiabatic_raytracer_tpu.ops.dispersion import k_norm_cart
+        from adiabatic_raytracer_tpu.ops.geometry import (
+            cart_to_sph, celerity_from_cart)
+        from adiabatic_raytracer_tpu.parallel.reduce import weighted_histogram
+
+        NP = int(os.environ.get("BENCH_PHASES", "8"))
+        B = int(os.environ.get("BENCH_RAYS", "8192"))  # rays per phase
+        CH = NP * B
+        nbins = 50
+        sc = Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.4, omega_pul=1.0,
+                   b0=1e14, r_ns=10.0, mass_ns=1.0)
+        cfg = NumericsConfig(rtol=1e-7, atol=1e-6,
+                             compute_dtype=compute_dtype)
+        x, v = _launch_states(B)
+        x = jnp.asarray(np.tile(x, (NP, 1)))
+        v = jnp.asarray(np.tile(v, (NP, 1)))
+        erg = jnp.full(CH, 1e-5 * (1 + 0.5 * (220.0 / 2.99792e5) ** 2))
+        k0n = k_norm_cart(x, v, 0.0, erg, sc, sc.mass_ns, is_photon=True,
+                          ax_fix=True)
+        w0 = celerity_from_cart(x, k0n, sc.mass_ns_eff) / erg[:, None]
+        u0 = jnp.concatenate([cart_to_sph(x), w0, (-erg)[:, None]], axis=1)
+        t_p = np.repeat(np.arange(NP) / NP * (2 * np.pi / sc.omega_pul), B)
+        lnt0 = jnp.asarray(np.log(t_p + np.exp(cfg.ln_t_start)))
+        lnt1 = jnp.asarray(np.log(t_p + t_end))
+        chunk_iters = int(os.environ.get("BENCH_CHUNK_ITERS", "64"))
+
+        @jax.jit
+        def sweep(u0, eps):
+            uf, lntf, steps, code, ncross, *_x = mk.integrate_mega_chunked(
+                u0.at[:, 0].add(eps), lnt0, lnt1, erg, x, sc, cfg,
+                chunk_iters=chunk_iters)
+            phi_f = jnp.mod(uf[:, 2] + jnp.pi, 2 * jnp.pi) - jnp.pi
+            w = jnp.where(code == 1.0, 1.0, 0.0).reshape(NP, B)
+            profiles = jax.vmap(
+                lambda ph, ww: weighted_histogram(ph, ww, nbins,
+                                                  -np.pi, np.pi))(
+                phi_f.reshape(NP, B), w)
+            return profiles, steps.sum(), (ncross > 0).sum()
+
+        sweep(u0, 0.0)[1].block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        profiles, tot_steps, n_cross = sweep(u0, 1e-7)
+        profiles = np.asarray(profiles)  # forces the fetch (axon sync)
+        dt = time.perf_counter() - t0
+        assert profiles.shape == (NP, nbins) and profiles.sum() > 0
+        rays_per_sec = CH / dt
+        print(json.dumps({
+            "metric": "phase_sweep_rays_per_sec_per_chip",
+            "value": round(rays_per_sec, 2),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / JULIA_CPU_RAYS_PER_SEC, 2),
+            "phases": NP, "rays_per_phase": B, "batch": CH,
+            "wall_s": round(dt, 3), "nbins": nbins,
+            "steps_per_sec": round(float(tot_steps) / dt, 1),
+            "crossings_frac": round(float(n_cross) / CH, 3),
+            "engine": "mega_chunked+ondevice_profiles",
+            "compute_dtype": compute_dtype,
+            "platform": platform, "config": 4,
         }))
         return 0
 

@@ -19,10 +19,10 @@ attribution unit is ns per EXECUTED tile-step, not per ray.
 
 Usage:
   python scripts/probe_step_split.py          # run all 4 (subprocesses),
-                                              # write STEP_SPLIT_r04.json
+                                              # write STEP_SPLIT_r05.json
   MEGA_PROFILE=rhs python scripts/probe_step_split.py --one   # one variant
 
-bench.py embeds STEP_SPLIT_r04.json (if present) in its JSON output next to
+bench.py embeds STEP_SPLIT_r05.json (if present) in its JSON output next to
 vpu_peak_frac, so the measured split lands in BENCH_r{N}.json.
 """
 
@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                   "STEP_SPLIT_r04.json")
+                   "STEP_SPLIT_r05.json")
 VARIANTS = ["rhs", "coarse", "scan", "full"]
 
 

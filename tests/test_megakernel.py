@@ -485,8 +485,8 @@ def test_rhs_hand_adjoint_matches_pool_f64():
     a32 = lambda v: jnp.asarray(v, jnp.float32)
 
     for name, sc in scenes.items():
-        Ch = mk.SceneConsts(sc, NumericsConfig(rhs_mode="hand"))
-        Cv = mk.SceneConsts(sc, NumericsConfig())
+        Ch = mk.SceneConsts(sc, NumericsConfig(rhs_mode="hand"))  # the default
+        Cv = mk.SceneConsts(sc, NumericsConfig(rhs_mode="vjp"))
         Ch.species = Cv.species = "mixed"
         assert Ch.rhs_mode == "hand" and Cv.rhs_mode == "vjp"
         gh = mk._rhs(Ch, tuple(a32(v) for v in u7), a32(lnt), a32(erg),

@@ -108,8 +108,17 @@ def _assert_matches(tr_a, tr_b, E, rtol=1e-3, pos_rtol=5e-3, t_rtol=None,
                     (nm, e, o, ra[nm], rb[nm])
             assert abs(ra["t"] - rb["t"]) <= t_rtol * max(abs(rb["t"]), 1e-12), \
                 ("t", e, o)
-            np.testing.assert_allclose(ra["fpos"], rb["fpos"], rtol=pos_rtol,
-                                       atol=pos_atol, err_msg=f"fpos {e} {o}")
+            if pos_rtol == 0.0:
+                np.testing.assert_array_equal(ra["fpos"], rb["fpos"],
+                                              err_msg=f"fpos {e} {o}")
+            else:
+                # VECTOR-relative: an escaped photon's endpoint sits at
+                # r ~ 1e5 km after a chaotic-separation-amplified f32
+                # trajectory — component-wise rtol on a near-zero component
+                # of such a vector measures rounding noise, not agreement
+                dn = float(np.linalg.norm(ra["fpos"] - rb["fpos"]))
+                assert dn <= pos_rtol * float(np.linalg.norm(rb["fpos"])) \
+                    + pos_atol, ("fpos", e, o, dn, ra["fpos"], rb["fpos"])
 
 
 def test_tree_kernel_matches_host_k1(runs):
