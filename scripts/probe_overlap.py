@@ -101,18 +101,29 @@ def main():
     sync(combo)
     sync(sample_jit(jax.random.PRNGKey(3), sb_prod))
 
-    # --- pure-device pipeline time: NB dispatches, ONE sync ---
-    t0 = time.perf_counter()
-    outs = [pipeline_jit(*d)[0] for d in dev]
-    sync(outs[-1])
-    t_pipe_dev = (time.perf_counter() - t0) / NB
+    # --- pure-device times by MARGINAL slope: wall(K2 calls) - wall(K1
+    # calls) over (K2-K1) cancels the fixed per-batch dispatch/tunnel
+    # latency that a single back-to-back loop folds into every call (the
+    # first corrected run measured sampler 148 ms + pipeline 76 ms > the
+    # 148 ms production wall — impossible device-serial, so fixed latency
+    # was riding on the measurements) ---
+    def timed(fn, ks, reps=3):
+        slopes = []
+        for _ in range(reps):
+            walls = []
+            for k in ks:
+                t0 = time.perf_counter()
+                outs = [fn(i) for i in range(k)]
+                sync(outs[-1])
+                walls.append(time.perf_counter() - t0)
+            slopes.append((walls[-1] - walls[0]) / (ks[-1] - ks[0]))
+        slopes.sort()
+        return slopes[len(slopes) // 2]
 
-    # --- pure-device sampler time at the production oversample width ---
-    t0 = time.perf_counter()
-    hs = [sample_jit(jax.random.fold_in(key, i), sb_prod)
-          for i in range(NB)]
-    sync(hs[-1])
-    t_samp_dev = (time.perf_counter() - t0) / NB
+    t_pipe_dev = timed(lambda i: pipeline_jit(*dev[i % NB])[0], [2, NB + 2])
+    t_samp_dev = timed(
+        lambda i: sample_jit(jax.random.fold_in(key, i), sb_prod),
+        [2, 20])
 
     # --- production wall at the same shapes (driver.run, depth-2 loop) ---
     import shutil
