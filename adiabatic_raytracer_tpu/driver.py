@@ -59,6 +59,12 @@ class RunStats:
     t_fetch: float = 0.0
     t_rows: float = 0.0
     t_text: float = 0.0
+    # host-blocked dispatch segments (s): issue_batch (arg upload + pipeline
+    # dispatch RPC) and sample_dispatch (sampler dispatch RPC).  On the axon
+    # tunnel these are the host-loop costs the stage timers above miss —
+    # OVERLAP_r05.json's 33% device-idle attribution lives here.
+    t_issue: float = 0.0
+    t_sampd: float = 0.0
     # NS-velocity spherical decomposition (mag, theta, phi), computed-but-
     # unused in the reference as well (MainRunner.jl:418-421)
     vns: tuple = (0.0, 0.0, 0.0)
@@ -579,6 +585,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
     def sample_dispatch():
         """Split a batch key and dispatch the primary oversampled chunk."""
         nonlocal key
+        t_sd0 = time.time()
         key, bkey = jax.random.split(key)
         sb = 1 << max(int(event_batch / max(succ_rate, 0.02) * 1.5) - 1,
                       7).bit_length()
@@ -588,6 +595,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         # (measured on axon: np.asarray after copy_to_host_async ~0.2 ms
         # vs ~35 ms for a cold fetch — the round trip IS the cost)
         handle.copy_to_host_async()
+        stats.t_sampd += time.time() - t_sd0
         return {"bkey": bkey, "sb": sb, "handle": handle}
 
     def sample_collect(s, batch):
@@ -669,6 +677,7 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
         issue_event_no += batch
         issue_remaining -= batch
         batches_issued += 1
+        stats.t_issue += time.time() - t_d0
         return rec
 
     def assemble(rec, overlap_s=0.0):
@@ -926,5 +935,6 @@ def run(sc: Scene, cfg: NumericsConfig, tcfg: TreeConfig, n_trajs: int, *,
               f"wall={stats.wall_time:.1f}s "
               f"(sample {stats.t_sample:.1f} pipe {stats.t_pipeline:.1f} "
               f"fetch {stats.t_fetch:.1f} rows {stats.t_rows:.1f} "
+              f"issue {stats.t_issue:.1f} sampd {stats.t_sampd:.1f} "
               f"text {stats.t_text:.1f}) -> {out_path}")
     return save_all, out_path, stats

@@ -157,6 +157,11 @@ def main():
         "stats_t_pipeline": round(stats.t_pipeline, 3),
         "stats_t_fetch": round(stats.t_fetch, 3),
         "stats_t_rows": round(stats.t_rows, 3),
+        # host-blocked dispatch segments (driver RunStats.t_issue/t_sampd):
+        # arg upload + dispatch RPC over the tunnel — the candidate home of
+        # the idle fraction above
+        "stats_t_issue": round(stats.t_issue, 3),
+        "stats_t_sampd": round(stats.t_sampd, 3),
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
