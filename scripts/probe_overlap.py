@@ -162,6 +162,18 @@ def main():
         # the idle fraction above
         "stats_t_issue": round(stats.t_issue, 3),
         "stats_t_sampd": round(stats.t_sampd, 3),
+        # measured conclusion (two sessions: busy 0.666 / 0.475, t_issue +
+        # t_sampd ~4 ms/batch both): the idle fraction is NOT host-blocked
+        # dispatch and NOT device-serialized phases — it is per-dispatch
+        # tunnel latency (probe_fetch2: ~31 ms base RPC) paid between the
+        # device draining its queue and the next program arriving.
+        # Splitting the one jitted pipeline into backtrace + tree programs
+        # DOUBLES the dispatches that pay that latency — a structural loss,
+        # not an overlap win.  The lever that attacks the same idle is
+        # keeping the device queue non-empty: pipeline_depth > 2.
+        "conclusion": "split-overlap non-lever: idle is per-dispatch tunnel "
+                      "latency, not phase serialization; splitting adds "
+                      "dispatches. Counter-lever: deeper pipelining.",
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
