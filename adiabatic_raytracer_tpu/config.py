@@ -169,6 +169,30 @@ class NumericsConfig:
     # Committed artifacts: STEP_SPLIT_r04 (vjp) full 63.82 ns -> STEP_SPLIT_
     # r05 (hand) full 54.74 ns, RHS share 63.9% -> 56.1%.
     rhs_mode: str = static_field("hand")
+    # Crossing-condition form in the megakernel: "fast" (strength-reduced —
+    # the axion-shell-renormalized k-square is identically -mass_a^2, so
+    # the condition collapses to 0.5*ma^2*(wp2t*(1-kp^2/e2)-1)/e7^2 on the
+    # unit dipole, saving 4 sqrts + a divide per evaluation; the always-on
+    # coarse gate pays interp_coarse of them per step) or "canonical" (the
+    # literal transcription of the reference condition, kept as the
+    # equivalence oracle).  Values agree to f32 rounding
+    # (test_condition_fast_matches_canonical); MEGA_COND env overrides for
+    # one-process A/B probes.
+    cond_mode: str = static_field("fast")
+    # Transcendental precision of the coarse event-scan GATE's interior
+    # condition samples: "precise" (the ~1.5e-7 Cody-Waite forms
+    # everywhere, default) or "native" (gate-precision ~2e-4 sincos/exp
+    # halves, megakernel._sincos_gate — safe because the gate fires on
+    # sign flips and |g| < scan_gate_theta = 0.08 with a measured 2x
+    # margin and every committed crossing is re-bracketed by the precise
+    # fine scan; census-clean on 65k production backtraces).  MEASURED
+    # NON-LEVER for speed (same-session headline A/B, v5e, 2026-08:
+    # precise 157.2k rays/s vs native 153.1k — carrying a second sincos
+    # code path in the kernel costs more in vector-register pressure than
+    # the ~30 saved ops per interior sample return), so precise stays the
+    # default; the knob is kept for deeper-poly experiments.
+    # MEGA_GATE_TRIG env overrides for one-process A/B probes.
+    gate_trig: str = static_field("precise")
     # Propagation engine for the tree/backtrace propagations: "pool" (XLA
     # pool integrator, reference default), "mega" (Pallas megakernel — TPU
     # only; ops/megakernel.py), or "pool_compact" (pool with the backtrace

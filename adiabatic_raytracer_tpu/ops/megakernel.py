@@ -115,6 +115,36 @@ def _sincos(x):
     return jnp.where(odd, -s, s), jnp.where(odd, -cc, cc)
 
 
+def _sincos_gate(x):
+    """Gate-precision sincos (~2e-4 on |n*pi| reductions up to O(10^2)):
+    single-constant pi range reduction + degree-7/6 Taylor.  Used ONLY for
+    the coarse event-scan gate's interior condition samples — the gate
+    fires on sign flips and |g| < scan_gate_theta (0.08 with a measured 2x
+    margin), four orders above this error, and every committed crossing is
+    re-bracketed by the precise 50-point fine scan.  ~Half the ops of the
+    Cody-Waite _sincos."""
+    n = jnp.round(x * (1.0 / _PI))
+    r = x - n * _PI
+    odd = jnp.mod(n, 2.0) > 0.5
+    z = r * r
+    s = r * (1.0 + z * (-1.0 / 6.0 + z * (1.0 / 120.0 - z * (1.0 / 5040.0))))
+    cc = 1.0 + z * (-0.5 + z * (1.0 / 24.0 - z * (1.0 / 720.0)))
+    return jnp.where(odd, -s, s), jnp.where(odd, -cc, cc)
+
+
+def _exp32_gate(x):
+    """Gate-precision exp (~1e-4 relative): same bitcast 2^n scaling as
+    _exp32 with a degree-4 Taylor on the reduced argument."""
+    ln2 = math.log(2.0)
+    n = jnp.round(x * (1.0 / ln2))
+    r = x - n * ln2
+    out = 1.0 + r * (1.0 + r * (0.5 + r * (1 / 6 + r / 24)))
+    ni = jnp.clip(n, -126.0, 127.0).astype(jnp.int32)
+    two_n = lax.bitcast_convert_type(((ni + 127) << 23).astype(jnp.int32),
+                                     jnp.float32)
+    return jnp.where(x < -87.0, 0.0, out * two_n)
+
+
 def _exp32(x):
     ln2 = math.log(2.0)
     h, m, l = _split3(ln2)
@@ -234,6 +264,10 @@ class SceneConsts:
         # _hamiltonian_nd).  Env override for one-process A/B probes, like
         # MEGA_PROFILE.
         self.rhs_mode = os.environ.get("MEGA_RHS", str(cfg.rhs_mode))
+        self.cond_mode = os.environ.get("MEGA_COND",
+                                        str(getattr(cfg, "cond_mode", "fast")))
+        self.gate_trig = os.environ.get(
+            "MEGA_GATE_TRIG", str(getattr(cfg, "gate_trig", "native")))
 
 
 def _metric(C, r, sin_th, rs0=None):
@@ -252,13 +286,13 @@ def _metric(C, r, sin_th, rs0=None):
     return g_tt, g_rr, 1.0 / r**2, 1.0 / (r * sin_th) ** 2
 
 
-def _dipole_unit(C, r, cz, sin_th, cphi, sphi, time):
+def _dipole_unit(C, r, cz, sin_th, cphi, sphi, time, sincos=_sincos):
     """GJ dipole orthonormal components in units of |b0| (sign carried via
     b0_sign); the rotation by omega*t uses cos/sin(psi) = cos/sin(phi -
     omega t) via angle addition.  Shared by the unscaled field (_dipole, used
     by the crossing condition) and the nondimensionalized Hamiltonian
     (_hamiltonian_nd) so the dynamics and the event scan cannot drift."""
-    swt, cwt = _sincos(C.omega * time)
+    swt, cwt = sincos(C.omega * time)
     cp = cphi * cwt + sphi * swt      # cos(phi - wt)
     sp = sphi * cwt - cphi * swt      # sin(phi - wt)
     bnorm = C.b0_sign * (C.r_ns / r) ** 3 * 0.5
@@ -275,14 +309,14 @@ def _dipole(C, r, cz, sin_th, cphi, sphi, time):
     return a * br, a * btheta, a * bphi
 
 
-def _bndry_t(C, r):
+def _bndry_t(C, r, exp=_exp32):
     """Boundary-layer omega_p addition in mass_a units
     (models/magnetosphere._bndry_lyr_term, RayTracer.jl:1155-1162).  The
     reference applies the term for r >= r_NS and then zeroes the whole wp at
     r <= r_NS (zero_in), so the net support is r > r_NS.  AD through _exp32
     is exact: the bitcast 2^n factor is constant w.r.t. the input (round has
     zero gradient) and the polynomial differentiates to itself."""
-    term = C.bndry_pole_t * (C.r_ns / r) ** 1.5 * _exp32(
+    term = C.bndry_pole_t * (C.r_ns / r) ** 1.5 * exp(
         -(r - C.bndry_rmax * C.bndry_lyr) / (0.1 * C.bndry_rmax))
     return jnp.where(r > C.r_ns, term, 0.0)
 
@@ -361,8 +395,13 @@ def _ham_bndry_diff_nd(C, x1, x2, x3, kt1, kt2, kt3, time, ergt):
     return 0.5 * dwp2 * (e2 - kp**2) / e2
 
 
-def _condition(C, u, lnt):
-    """Thick-surface crossing condition (ops/propagate.py:crossing_condition)."""
+def _condition_canonical(C, u, lnt):
+    """Thick-surface crossing condition, canonical form — the literal
+    transcription of ops/propagate.py:crossing_condition (RayTracer.jl:
+    262-296): renormalize the momenta onto the axion shell, then evaluate
+    the Melrose photon Hamiltonian, normalized by omega^2.  Kept as the
+    equivalence oracle for the strength-reduced production form below
+    (tests/test_megakernel.py::test_condition_fast_matches_canonical)."""
     x1, x2, x3, w1, w2, w3, e7 = u
     t = _exp32(lnt)
     r = x1
@@ -389,6 +428,67 @@ def _condition(C, u, lnt):
     ksqr = g_tt * e7**2 + g_rr * ww1**2 + g_thth * ww2**2 + g_pp * ww3**2
     e2 = e7**2 / g_rr
     return 0.5 * (ksqr + wp**2 * (e2 - kp**2) / e2) / e7**2
+
+
+def _condition(C, u, lnt, approx=False):
+    """Thick-surface crossing condition (ops/propagate.py:crossing_condition,
+    RayTracer.jl:262-296), strength-reduced.
+
+    After the axion-shell renormalization, the renormalized 4-k-square is
+    IDENTICALLY -mass_a^2 — that is the equation the renormalization factor
+    solves — so the canonical
+        g = 0.5*(ksqr + wp^2*(e2 - kp^2)/e2)/e7^2
+    collapses to
+        g = 0.5*mass_a^2*(wp2t*(1 - kp^2/e2) - 1)/e7^2,
+    with wp2t = (wp/mass_a)^2 = C.wp2_scale*|bz| on the UNIT dipole (the
+    b0 scale cancels inside kp^2 = nrm^2*n_w^2*g_rr/(bm2*e7^2) because
+    n_w^2/bm2 is scale-invariant), and sqrt(g_thth) = 1/r,
+    sqrt(g_pp) = 1/(r*|sin th|) read off the diagonal metric directly.
+    Value-identical to the canonical form up to f32 rounding (pinned by
+    test_condition_fast_matches_canonical); removes 4 sqrts, a divide and
+    ~10 multiplies from an evaluation the always-on coarse gate pays
+    interp_coarse times per step (30.4% of step cost, STEP_SPLIT_r05.json).
+    MEGA_COND=canonical restores the old form for one-process A/B probes.
+
+    approx=True swaps the transcendentals for their gate-precision halves
+    (_sincos_gate/_exp32_gate, ~2e-4) — used ONLY for the coarse gate's
+    interior samples, where the error budget is scan_gate_theta's measured
+    2x margin and every committed crossing is re-bracketed by the precise
+    fine scan."""
+    if getattr(C, "cond_mode", "fast") != "fast":
+        return _condition_canonical(C, u, lnt)
+    sincos = _sincos_gate if approx else _sincos
+    exp = _exp32_gate if approx else _exp32
+    x1, x2, x3, w1, w2, w3, e7 = u
+    t = exp(lnt)
+    r = x1
+    s_th, c_th = sincos(x2)
+    s_ph, c_ph = sincos(x3)
+    g_tt, g_rr, g_thth, g_pp = _metric(C, r, s_th)
+    br, btheta, bphi = _dipole_unit(C, r, c_th, s_th, c_ph, s_ph, t,
+                                    sincos=sincos)
+    bz = br * c_th - btheta * s_th
+    wp2t = C.wp2_scale * jnp.abs(bz)
+    wp2t = jnp.where(r <= C.r_ns, 0.0, wp2t)
+    if C.has_bndry:
+        # boundary-layer wp addition, in mass_a units like wp2t
+        wp2t = (jnp.sqrt(wp2t) + _bndry_t(C, r, exp=exp)) ** 2
+    e72 = e7 * e7
+    inv_e72 = 1.0 / e72
+    if C.isotropic:
+        mel = 1.0
+    else:
+        wsq = g_rr * w1**2 + g_thth * w2**2 + g_pp * w3**2
+        nrm2 = (-e72 * g_tt - C.mass_a**2) / wsq
+        inv_r = 1.0 / r
+        # n_w on the unit dipole; |sin| because sqrt(g_pp) is positive while
+        # 1/(r*sin th) is signed — kp^2 must match the canonical bl_p form
+        n_w = (jnp.sqrt(g_rr) * w1 * br + inv_r * w2 * btheta
+               + inv_r / jnp.abs(s_th) * w3 * bphi)
+        bm2 = br * br + btheta * btheta + bphi * bphi
+        kp2_over_e2 = nrm2 * n_w * n_w * g_rr * inv_e72 / bm2
+        mel = 1.0 - kp2_over_e2
+    return (0.5 * C.mass_a**2) * (wp2t * mel - 1.0) * inv_e72
 
 
 def _prob_nd(C, u, erg):
@@ -968,7 +1068,9 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
         K = C.interp
         Kc = C.interp_coarse if 0 < C.interp_coarse < C.interp else 0
 
-        def _scan(Kn, want_gmin):
+        gate_approx = getattr(C, "gate_trig", "native") == "native"
+
+        def _scan(Kn, want_gmin, approx=False):
             flip_found = jnp.zeros_like(done)
             tau_lo = jnp.zeros_like(lnt)
             tau_hi = jnp.zeros_like(lnt)
@@ -979,7 +1081,7 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
                 tau_j = j / Kn
                 if j < Kn:
                     u_j = _hermite(u, u_new, f0, f_new, h, tau_j)
-                    g_j = _condition(C, u_j, lnt + tau_j * h)
+                    g_j = _condition(C, u_j, lnt + tau_j * h, approx=approx)
                 else:
                     g_j = g_new
                 flip = (jnp.sign(g_prev) * jnp.sign(g_j) < 0) & ~flip_found
@@ -1002,14 +1104,18 @@ def _mega_kernel(uin_ref, aux_ref, uni_ref, uout_ref, lnt_ref, diag_ref,
             # attribution variant: coarse pass only; results kept LIVE via a
             # 1e-30-scaled diag write (constant-zero flip_found would let
             # XLA dead-code-eliminate the whole scan), event block off
-            flip_c, tlo_c, thi_c, gmin = _scan(Kc or 4, True)
+            flip_c, tlo_c, thi_c, gmin = _scan(Kc or 4, True,
+                                               approx=gate_approx)
             diag_ref[:, 6, :] = diag_ref[:, 6, :] + 1e-30 * (
                 gmin + tlo_c + thi_c + jnp.where(flip_c, 1.0, 0.0))
             flip_found = jnp.zeros_like(done)
             tau_lo = jnp.zeros_like(lnt)
             tau_hi = jnp.zeros_like(lnt)
         elif Kc:
-            flip_c, tlo_c, thi_c, gmin = _scan(Kc, True)
+            # coarse GATE pass: gate-precision transcendentals (~2e-4 error
+            # vs the 0.08 gate theta with 2x measured margin); any committed
+            # crossing is re-bracketed by the precise fine scan below
+            flip_c, tlo_c, thi_c, gmin = _scan(Kc, True, approx=gate_approx)
             sus = accept & (flip_c | (gmin < C.gate_theta))
             any_sus = jnp.max(jnp.where(sus, 1.0, 0.0)) > 0.5
 

@@ -213,7 +213,9 @@ def _make_step_body(C: SceneConsts, T: TreeConsts, qs_ref, rs_ref, fin_ref,
         g_new = _condition(C, u_new, lnt + h)
 
         # --- gated two-phase event scan (megakernel, census-validated) ---
-        def _scan(Kn, want_gmin):
+        gate_approx = getattr(C, "gate_trig", "native") == "native"
+
+        def _scan(Kn, want_gmin, approx=False):
             flip_found = jnp.zeros_like(done_m)
             tau_lo = jnp.zeros_like(lnt)
             tau_hi = jnp.zeros_like(lnt)
@@ -224,7 +226,7 @@ def _make_step_body(C: SceneConsts, T: TreeConsts, qs_ref, rs_ref, fin_ref,
                 tau_j = j / Kn
                 if j < Kn:
                     u_j = _hermite(u, u_new, f0, f_new, h, tau_j)
-                    g_j = _condition(C, u_j, lnt + tau_j * h)
+                    g_j = _condition(C, u_j, lnt + tau_j * h, approx=approx)
                 else:
                     g_j = g_new
                 flip = (jnp.sign(g_prev) * jnp.sign(g_j) < 0) & ~flip_found
@@ -238,7 +240,10 @@ def _make_step_body(C: SceneConsts, T: TreeConsts, qs_ref, rs_ref, fin_ref,
             return flip_found, tau_lo, tau_hi, gmin
 
         if Kc:
-            flip_c, tlo_c, thi_c, gmin = _scan(Kc, True)
+            # coarse GATE pass at gate-precision transcendentals (see
+            # megakernel: every committed crossing is re-bracketed by the
+            # precise fine scan)
+            flip_c, tlo_c, thi_c, gmin = _scan(Kc, True, approx=gate_approx)
             sus = accept & (flip_c | (gmin < C.gate_theta))
             any_sus = jnp.max(jnp.where(sus, 1.0, 0.0)) > 0.5
 

@@ -515,3 +515,71 @@ def test_rhs_hand_adjoint_matches_pool_f64():
             # the deep-interior lanes share a known f32 artifact)
             assert eh[m].max() < max(5e-3, 2.0 * ev[m].max()), \
                 (name, i, eh[m].max(), ev[m].max())
+
+
+def test_condition_fast_matches_canonical():
+    """The strength-reduced crossing condition (megakernel._condition,
+    cond_mode="fast": the axion-shell-renormalized k-square is identically
+    -mass_a^2, so g collapses to 0.5*ma^2*(wp2t*(1-kp^2/e2)-1)/e7^2 on the
+    unit dipole) is value-identical to the canonical transcription
+    (_condition_canonical, RayTracer.jl:262-296) up to f32 rounding, across
+    anisotropic / isotropic / boundary-layer scenes, including theta beyond
+    pi (the sqrt(g_pp) = 1/(r*|sin th|) sign branch)."""
+    from adiabatic_raytracer_tpu.config import NumericsConfig, Scene
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+
+    scenes = {
+        "aniso": Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
+                       b0=1e14, r_ns=10.0, mass_ns=1.0),
+        "iso": Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
+                     b0=1e14, r_ns=10.0, mass_ns=1.0, isotropic=True,
+                     melrose=False),
+        "bndry": Scene(mass_a=1e-5, ax_g=1e-12, theta_m=0.2, omega_pul=1.0,
+                       b0=1e14, r_ns=10.0, mass_ns=1.0, bndry_lyr=0.5),
+    }
+    rng = np.random.default_rng(11)
+    N = 512
+    for name, sc in scenes.items():
+        C = mk.SceneConsts(sc, NumericsConfig())
+        C.species = "mixed"
+        assert C.cond_mode == "fast"
+        # span the conversion-surface region (near-root states included)
+        r = rng.uniform(11.0, 4.0 * C.bndry_rmax, N)
+        th = np.concatenate([rng.uniform(0.1, np.pi - 0.1, N // 2),
+                             rng.uniform(np.pi + 0.1, 2 * np.pi - 0.1,
+                                         N - N // 2)])
+        ph = rng.uniform(-np.pi, np.pi, N)
+        w = rng.normal(size=(3, N))
+        w /= np.linalg.norm(w, axis=0, keepdims=True)
+        # |e7| >= mass_a: below the rest mass nrm^2 < 0 and the canonical
+        # form NaNs (sqrt of a negative) — unreachable from on-shell states
+        e7 = -np.full(N, 1e-5) * rng.uniform(1.0, 1.2, N)
+        lnt = np.log(rng.uniform(1e-6, 0.5, N))
+        u = tuple(jnp.asarray(v, jnp.float32)
+                  for v in (r, th, ph, w[0], w[1], w[2], e7))
+        lnt32 = jnp.asarray(lnt, jnp.float32)
+        g_fast = np.asarray(mk._condition(C, u, lnt32), np.float64)
+        g_can = np.asarray(mk._condition_canonical(C, u, lnt32), np.float64)
+        # g is O(0.5) dimensionless; both forms are f32 — rounding-level
+        # agreement absolutely, and relatively where g is not near a root
+        d = np.abs(g_fast - g_can)
+        assert d.max() < 5e-5, (name, d.max())
+        m = np.abs(g_can) > 1e-2
+        assert (d[m] / np.abs(g_can[m])).max() < 5e-4, \
+            (name, (d[m] / np.abs(g_can[m])).max())
+
+
+def test_gate_precision_transcendentals():
+    """_sincos_gate/_exp32_gate (the coarse gate's cheap transcendentals)
+    stay within ~1e-3 of numpy over the kernel's live argument ranges —
+    four orders inside the scan_gate_theta = 0.08 error budget."""
+    from adiabatic_raytracer_tpu.ops import megakernel as mk
+
+    x = np.linspace(-60.0, 60.0, 20001)
+    s, c = mk._sincos_gate(jnp.asarray(x, jnp.float32))
+    assert np.abs(np.asarray(s, np.float64) - np.sin(x)).max() < 1e-3
+    assert np.abs(np.asarray(c, np.float64) - np.cos(x)).max() < 1e-3
+    y = np.linspace(-30.0, 3.0, 20001)
+    e = mk._exp32_gate(jnp.asarray(y, jnp.float32))
+    rel = np.abs(np.asarray(e, np.float64) - np.exp(y)) / np.exp(y)
+    assert rel.max() < 1e-3

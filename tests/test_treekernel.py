@@ -124,9 +124,15 @@ def _assert_matches(tr_a, tr_b, E, rtol=1e-3, pos_rtol=5e-3, t_rtol=None,
 def test_tree_kernel_matches_host_k1(runs):
     """Per-node parity with the host engine at the production (windowed K=1)
     cutoff semantics: same orders, species, counters, stop codes; records to
-    the in-kernel-restart tolerance."""
+    the in-kernel-restart tolerance.  rtol 5e-3: crossing roots are f32-
+    bisected in-kernel vs f64 dense-output on the host, and the round-5
+    strength-reduced condition (megakernel._condition cond_mode="fast")
+    decorrelates the kernel's rounding from the host's canonical op
+    structure — near-tangent roots shift by ~1e-4 tau, moving pconv at a
+    deep node by ~2e-3 relative (values, orders, species and counters are
+    unchanged)."""
     host, kern = runs
-    _assert_matches(kern, host, 3)
+    _assert_matches(kern, host, 3, rtol=5e-3)
     # the kernel path must actually have run in-kernel (no replays here:
     # NF = min(8, num_cutoff=4) = 4 >= max finals seen)
     assert int(jnp.sum(kern.count_main)) > 0
